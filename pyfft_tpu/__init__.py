@@ -1,0 +1,10 @@
+"""pyfft_tpu — TPU-native batched power-of-two complex FFT framework.
+
+A from-scratch JAX/Pallas rebuild of the capabilities of fjarri-attic/pyfft
+(see SURVEY.md): batched 1D/2D/3D complex transforms, forward/inverse,
+single/double precision, interleaved and split complex storage, behind the
+same ``Plan(shape).execute(data)`` surface.
+"""
+
+VERSION = (0, 1, 0)
+__version__ = ".".join(map(str, VERSION))
