@@ -8,3 +8,9 @@ same ``Plan(shape).execute(data)`` surface.
 
 VERSION = (0, 1, 0)
 __version__ = ".".join(map(str, VERSION))
+
+from pyfft_tpu.plan import Plan
+from pyfft_tpu.api import fft, ifft, fft2, ifft2, fftn, ifftn
+
+__all__ = ["Plan", "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+           "VERSION", "__version__"]

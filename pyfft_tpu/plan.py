@@ -1,0 +1,235 @@
+"""The ``Plan`` facade — the framework's public API.
+
+Mirrors the reference's user surface (``pyfft/cuda.py`` / ``pyfft/cl.py``
+``Plan`` and ``FFTPlan.execute`` — SURVEY.md §2.9-bis) while being a thin
+stateful wrapper over pure jitted functions, the idiomatic JAX shape:
+
+    plan = Plan((1024, 1024))            # schedule + trace once
+    out  = plan.execute(data)            # jitted forward
+    back = plan.execute(out, inverse=True)
+
+Differences from the reference, by design (JAX is functional):
+
+* ``execute`` **returns** the transformed array instead of mutating a GPU
+  buffer in place; ``data_out`` arguments are therefore not part of the API.
+* ``stream=`` / ``queue=`` / ``context=`` are accepted for familiarity and
+  only influence the async default (JAX dispatch is always async; the
+  ``wait_for_finish`` semantics are preserved via ``block_until_ready``).
+
+Split-complex mode follows the reference's dispatch-by-arity:
+``plan.execute(re, im)`` takes and returns separate real/imag planes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfft_tpu.planner import AxisPass, ExecPlan, build_plan
+from pyfft_tpu.reference import fft_planar
+
+__all__ = ["Plan"]
+
+
+def _on_tpu() -> bool:
+    try:
+        plat = jax.default_backend()
+    except RuntimeError:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def _complex_on_device_ok() -> bool:
+    """Whether complex arrays may live on the default device.
+
+    TPU backends (including the axon tunnel in this environment) reject
+    complex dtypes outright — and a failed transfer can poison the runtime,
+    so this is a static decision, not a probe.  Everything still works there:
+    interleaved data is bitcast to planar on the host (free: a view) and
+    computed planar on device, which is the faster layout on TPU anyway.
+    """
+    return jax.default_backend() == "cpu"
+
+
+class Plan:
+    """Batched power-of-two complex FFT plan for 1D/2D/3D transforms.
+
+    Parameters (reference parity — SURVEY.md §2.9-bis):
+      shape: int or tuple of 1–3 ints, each a power of two.
+      dtype: numpy.complex64 (default) or numpy.complex128.
+      normalize: inverse transform scales by 1/(x*y*z) (default True).
+      scale: extra user scale folded into both directions' output.
+      fast_math: allow the planner to pick faster, slightly less precise
+        kernels (kept within the documented tolerance gates).
+      wait_for_finish: default sync behavior of execute(); if None it is
+        inferred — async when a stream/queue was supplied, sync otherwise.
+      context/stream/queue: accepted for API familiarity (see module doc).
+      force_xla: bypass Pallas kernels (debugging / non-TPU profiling).
+    """
+
+    def __init__(self, shape, dtype=np.complex64, *, normalize: bool = True,
+                 scale: float = 1.0, fast_math: bool = True,
+                 wait_for_finish: bool | None = None,
+                 context: Any = None, stream: Any = None, queue: Any = None,
+                 force_xla: bool = False):
+        if isinstance(shape, (int, np.integer)):
+            shape = (int(shape),)
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        self._real_dtype = np.float32 if self.dtype == np.complex64 else np.float64
+        if self._real_dtype == np.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "complex128 plans need float64 support: enable it with "
+                "jax.config.update('jax_enable_x64', True) "
+                "(the TPU double-float path engages automatically on TPU)")
+        self.normalize = bool(normalize)
+        self.scale = float(scale)
+        self.fast_math = bool(fast_math)
+        if wait_for_finish is None:
+            wait_for_finish = stream is None and queue is None
+        self.wait_for_finish = bool(wait_for_finish)
+        self._force_xla = bool(force_xla)
+        self._exec_plan: ExecPlan = build_plan(
+            self.shape, self.dtype, on_tpu=_on_tpu() and not force_xla)
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------- executors
+
+    def _run_axis_pass(self, re, im, p: AxisPass, sign: int, ndim: int):
+        """Dispatch one axis pass to its executor."""
+        axis = re.ndim - ndim + p.axis
+        if p.executor == "local" and not self._force_xla:
+            from pyfft_tpu.ops import pallas_local
+            if pallas_local.supported(re, axis):
+                return pallas_local.fft_axis(re, im, sign, axis=axis)
+        # "xla" and "fourstep" both lower to the recursive planar matmul
+        # path; the explicit (n1, n2) split of a fourstep pass is realized
+        # inside fft_planar's recursion. (Pallas four-step lands per axis as
+        # kernels widen.)
+        return fft_planar(re, im, sign, axis=axis)
+
+    def _build_callable(self, batch_shape: tuple[int, ...], inverse: bool,
+                        split: bool):
+        ndim = len(self.shape)
+        sign = +1 if inverse else -1
+        norm = 1.0
+        if inverse and self.normalize:
+            norm /= self._exec_plan.total_n
+        norm *= self.scale
+
+        def run_planar(re, im):
+            for p in self._exec_plan.passes:
+                re, im = self._run_axis_pass(re, im, p, sign, ndim)
+            if norm != 1.0:
+                c = jnp.asarray(norm, dtype=re.dtype)
+                re, im = re * c, im * c
+            return re, im
+
+        if split == "planar":
+            def fn(re, im):
+                return run_planar(re, im)
+        elif split == "complex":
+            def fn(x):
+                re, im = run_planar(jnp.real(x), jnp.imag(x))
+                return jax.lax.complex(re, im)
+        else:  # "view": interleaved (..., 2N) real array, re/im in lanes
+            def fn(v):
+                pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
+                re, im = pairs[..., 0], pairs[..., 1]
+                re, im = run_planar(re, im)
+                out = jnp.stack([re, im], axis=-1)
+                return out.reshape(v.shape)
+        return jax.jit(fn)
+
+    def _get_callable(self, batch_shape, inverse, split):
+        key = (batch_shape, inverse, split)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = self._build_callable(
+                batch_shape, inverse, split)
+        return fn
+
+    # ------------------------------------------------------------ data prep
+
+    def _canonicalize(self, data, batch, planar: bool):
+        """Reshape user data to (batch?, *shape); returns (array, unflatten)."""
+        want_dtype = self._real_dtype if planar else self.dtype
+        x = jnp.asarray(data)
+        if x.dtype != want_dtype:
+            x = x.astype(want_dtype)
+        orig_shape = x.shape
+        ndim = len(self.shape)
+        if x.ndim >= ndim and x.shape[-ndim:] == self.shape:
+            return x, orig_shape
+        # flat buffer + batch, reference-style: execute(buf, batch=k)
+        b = int(batch) if batch else 1
+        if math.prod(x.shape) != b * math.prod(self.shape):
+            raise ValueError(
+                f"data of shape {orig_shape} does not match transform shape "
+                f"{self.shape} with batch={b}")
+        x = x.reshape((b,) + self.shape if b > 1 else self.shape)
+        return x, orig_shape
+
+    # -------------------------------------------------------------- execute
+
+    def execute(self, data, data_imag=None, *, inverse: bool = False,
+                batch: int | None = None, wait_for_finish: bool | None = None):
+        """Run the transform.
+
+        Interleaved mode: ``execute(x)`` with complex ``x`` → complex array.
+        Split mode: ``execute(re, im)`` → ``(re, im)`` pair (dispatch by
+        arity, as in the reference — SURVEY.md §3.4).
+        ``batch=k`` accepts a flat buffer holding k contiguous transforms.
+        """
+        ndim = len(self.shape)
+        if data_imag is not None:
+            re, re_shape = self._canonicalize(data, batch, planar=True)
+            im, _ = self._canonicalize(data_imag, batch, planar=True)
+            if re.shape != im.shape:
+                raise ValueError("real/imag planes must have the same shape")
+            fn = self._get_callable(re.shape[:-ndim], inverse, "planar")
+            rr, ii = fn(re, im)
+            out = (rr.reshape(re_shape), ii.reshape(re_shape))
+        elif _complex_on_device_ok():
+            x, x_shape = self._canonicalize(data, batch, planar=False)
+            fn = self._get_callable(x.shape[:-ndim], inverse, "complex")
+            out = fn(x).reshape(x_shape)
+        else:
+            # Interleaved complex on a backend without complex dtypes (TPU):
+            # bitcast host data to an interleaved real view, compute planar on
+            # device, bitcast back.  Returns a host array in this mode.
+            xc = np.ascontiguousarray(np.asarray(data, dtype=self.dtype))
+            orig_shape = xc.shape
+            xc, _ = self._canonicalize_host(xc, batch)
+            v = xc.view(self._real_dtype)           # (..., 2N) interleaved
+            fn = self._get_callable(v.shape, inverse, "view")
+            res = fn(v)
+            out = np.asarray(res).view(self.dtype).reshape(orig_shape)
+        wait = self.wait_for_finish if wait_for_finish is None else wait_for_finish
+        if wait:
+            jax.tree_util.tree_map(
+                lambda a: a.block_until_ready() if isinstance(a, jax.Array) else a,
+                out)
+        return out
+
+    def _canonicalize_host(self, x: np.ndarray, batch):
+        ndim = len(self.shape)
+        if x.ndim >= ndim and x.shape[-ndim:] == self.shape:
+            return x, x.shape
+        b = int(batch) if batch else 1
+        if x.size != b * math.prod(self.shape):
+            raise ValueError(
+                f"data of shape {x.shape} does not match transform shape "
+                f"{self.shape} with batch={b}")
+        return x.reshape((b,) + self.shape if b > 1 else self.shape), x.shape
+
+    # ------------------------------------------------------------- niceties
+
+    def __repr__(self):
+        kinds = ",".join(p.executor for p in self._exec_plan.passes)
+        return (f"Plan(shape={self.shape}, dtype={self.dtype.name}, "
+                f"passes=[{kinds}])")

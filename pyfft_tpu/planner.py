@@ -1,0 +1,125 @@
+"""Pass scheduler: shape/dtype → executable pass IR.
+
+TPU-native analog of the reference's plan construction
+(``pyfft/plan.py`` + ``pyfft/kernel.py``: LocalFFTKernel vs
+GlobalFFTKernel.createChain — SURVEY.md §2.2/§2.3/§3.1).  The reference
+decided at plan time, per axis, between a shared-memory-resident kernel and a
+chain of global radix passes, sized against GPU shared memory and registers,
+with a compile-retry fallback that halved the block size.
+
+Here the same decision is a *static capacity model* against VMEM (~16 MiB a
+core): an axis either fits a fused VMEM-resident Pallas kernel (``local``),
+or is scheduled as a four-step decomposition whose sub-transforms recurse
+until they fit (``fourstep``), or falls back to the pure-XLA matmul path
+(``xla``) when no Pallas kernel applies (non-TPU backend, float64, axis
+layouts not yet covered).  There is no compile-retry loop: TPU kernel
+resource use is statically known, so the model is conservative up front.
+
+Everything in this module is pure and cheap; it runs once per Plan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import numpy as np
+
+from pyfft_tpu.utils.radix import fourstep_split, ilog2, is_power_of_two
+
+__all__ = ["AxisPass", "ExecPlan", "build_plan", "VMEM_BUDGET_BYTES"]
+
+# Usable VMEM per core for one kernel's working set.  Physical VMEM is
+# ~16 MiB; we budget ~3/4 of it for data (in + out + one scratch plane set,
+# double-buffered pipelining handled by Pallas grid pipelining itself).
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+# Smallest batch tile worth putting through a Pallas kernel: 8 sublanes of
+# f32.  Below this the XLA path wins on launch overhead alone.
+_MIN_BATCH_TILE = 8
+
+Executor = Literal["xla", "local", "fourstep"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisPass:
+    """One scheduled pass over one transform axis.
+
+    ``fourstep`` passes carry the (n1, n2) factorization: n2-sized
+    sub-transforms are contiguous (lane-friendly), n1-sized ones are strided
+    and handled with the transform batch folded into matmul rows.
+    """
+
+    axis: int                 # axis index within the *transform* shape
+    n: int                    # transform length along this axis
+    executor: Executor
+    split: tuple[int, int] | None = None   # (n1, n2) for fourstep
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecPlan:
+    shape: tuple[int, ...]          # transform shape, e.g. (1024, 1024)
+    dtype: np.dtype                 # complex dtype of the user data
+    passes: tuple[AxisPass, ...]    # one per axis, innermost (last) axis first
+    itemsize_plane: int             # bytes per real plane element (4 or 8)
+
+    @property
+    def total_n(self) -> int:
+        n = 1
+        for s in self.shape:
+            n *= s
+        return n
+
+
+def _local_fits(n: int, itemsize: int, budget: int = VMEM_BUDGET_BYTES) -> bool:
+    """Can a length-n axis live in one VMEM-resident kernel tile?
+
+    Working set per batch tile: 2 planes (re, im) x (in + out + scratch)
+    = 6 buffers of MIN_BATCH_TILE x n elements, plus DFT/twiddle tables
+    (bounded by 4 * 128 * 128 elements per level).
+    """
+    data = 6 * _MIN_BATCH_TILE * n * itemsize
+    tables = 4 * 128 * 128 * itemsize * max(1, ilog2(max(n, 2)) // 7)
+    return data + tables <= budget
+
+
+def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
+               max_local_n: int | None = None) -> ExecPlan:
+    """Schedule one pass per transform axis.
+
+    The reference iterated x, then y, then z kernels (SURVEY.md §3.1); we
+    schedule the innermost (contiguous) axis first for the same reason —
+    later axes then operate on data whose layout the previous pass produced.
+    """
+    shape = tuple(int(s) for s in shape)
+    if not (1 <= len(shape) <= 3):
+        raise ValueError(f"FFT rank must be 1..3, got shape {shape}")
+    for s in shape:
+        if not is_power_of_two(s):
+            raise ValueError(f"transform size {s} is not a power of two")
+    dtype = np.dtype(dtype)
+    if dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
+        raise ValueError(f"dtype must be complex64 or complex128, got {dtype}")
+    itemsize = 4 if dtype == np.dtype(np.complex64) else 8
+
+    # Pallas kernels currently cover the complex64 path on TPU; complex128
+    # rides the XLA planar path (f64 via x64, or the double-float path).
+    pallas_ok = on_tpu and itemsize == 4
+
+    passes = []
+    ndim = len(shape)
+    for axis in reversed(range(ndim)):
+        n = shape[axis]
+        if pallas_ok and _local_fits(n, itemsize) and (max_local_n is None or n <= max_local_n):
+            passes.append(AxisPass(axis=axis, n=n, executor="local"))
+        elif pallas_ok or n > 1 << 16:
+            # Too big for one VMEM tile: four-step through HBM.
+            n2 = 1 << 11
+            while not _local_fits(n2, itemsize) and n2 > 2:
+                n2 >>= 1
+            n1, n2 = fourstep_split(n, n2) if n > n2 else (1, n)
+            passes.append(AxisPass(axis=axis, n=n, executor="fourstep", split=(n1, n2)))
+        else:
+            passes.append(AxisPass(axis=axis, n=n, executor="xla"))
+    return ExecPlan(shape=shape, dtype=dtype, passes=tuple(passes),
+                    itemsize_plane=itemsize)

@@ -12,7 +12,10 @@ import os
 
 _platform = os.environ.get("PYFFT_TPU_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # NOTE: this environment's TPU plugin imports jax from sitecustomize at
+    # interpreter start, so JAX_PLATFORMS in os.environ is read before any
+    # test code runs — the switch must go through jax.config instead.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -21,4 +24,6 @@ if _platform == "cpu":
 
 import jax  # noqa: E402
 
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
