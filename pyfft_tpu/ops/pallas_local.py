@@ -1,27 +1,265 @@
-"""Fused VMEM-resident Pallas FFT kernel ("local" executor).
+"""Fused VMEM-resident Pallas FFT kernel (the "local" executor).
 
 TPU-native analog of the reference's LocalFFTKernel (``pyfft/kernel.py``,
 SURVEY.md §2.3): one kernel performs the whole length-N transform for a tile
-of the batch, with all radix stages fused so the data makes exactly one
-HBM→VMEM→HBM round trip.
+of the batch with all radix stages fused, so the data makes exactly **one**
+HBM→VMEM→HBM round trip.  (The pure-XLA path materializes each four-step
+level's transposes in HBM, ~6 round trips; on v5e that is the difference
+between ~0.4 and multi-TFLOP/s effective rates.)
 
-Where the GPU kernel used shared-memory transposes between register
-butterflies, this kernel keeps the transform axis in lanes and expresses the
-radix stages as DFT-matrix contractions on the MXU with twiddle multiplies on
-the VPU — shuffles never leave the systolic array.
+Layout — the key TPU-first decision (found by probing Mosaic's layout rules):
+the tile is **(n, 128): transform along sublanes, batch along lanes**.  Every
+radix stage is then a `dot_general` *from the left* over the leading axis,
+
+    stage A   C[k1,j2,b] = sum_j1 W1[k1,j1] * x[j1,j2,b]      (MXU)
+    stage B   C *= T[k1,j2]  (broadcast over lanes)           (VPU)
+    stage C   X[k2,k1,b] = sum_j2 W2[k2,j2] * C[k1,j2,b]      (MXU)
+
+and — because dot_general prepends the contracted-out index — stage C's
+output rows flatten to exactly k2*n1 + k1, the DFT output order.  No
+bit-reversal, no 3D minor transposes, no lane-splitting reshapes (all of
+which Mosaic either rejects or lowers to slow shuffles); the minor dimension
+stays a full 128 lanes through the whole kernel.  User data arrives
+batch-major, so the kernel brackets the math with one in-VMEM 2D transpose
+on load and one on store — still a single HBM round trip.
+
+How the GPU structure maps here:
+
+  reference (GPU)                      this kernel (TPU)
+  ---------------------------------   -----------------------------------
+  radix-2/4/8 register butterflies    DFT-matrix contractions on the MXU
+  twiddle via sincos() per thread     f64-precomputed tables resident in VMEM
+  shared-memory transposes            none (dot_general's index ordering)
+  bit-reversal index maps             none (four-step output ordering)
+  block-size halving on overflow      static VMEM capacity model (planner)
 """
 
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["supported", "fft_axis"]
+from pyfft_tpu.ops.twiddle import dft_matrix, twiddle_table
+from pyfft_tpu.utils.radix import is_power_of_two
+
+__all__ = ["supported", "fft_axis", "tile_fft", "MAX_LOCAL_N", "LANES"]
+
+# Base case: largest DFT done as one matrix contraction (MXU width).
+BASE = 128
+
+# Lanes per tile = batch rows processed per grid step.
+LANES = 128
+
+# Largest axis the local kernel owns: (n, 128) io planes at n=4096 are
+# 2 MiB each; in+out+temporaries fit VMEM.  Larger axes take the four-step
+# global path.
+MAX_LOCAL_N = 4096
+
+_MIN_N = 8
+
+# Matmul precision for the DFT contractions.  Mosaic lowers only DEFAULT
+# (1-pass bf16, err ~3e-3: fails the 1e-6 gate) and HIGHEST (6-pass bf16,
+# err ~1.5e-7).  A 3-pass hi/lo split was measured at ~4e-6 — two bf16
+# mantissas carry only 16 of f32's 24 bits — so HIGHEST it is.
+_PRECISION = "highest"
+
+_PREC_MAP = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
-def supported(re: jax.Array, axis: int) -> bool:
+def default_factors(n: int) -> tuple[int, ...]:
+    """Factorization of n into DFT-matrix stages, each <= BASE.
+
+    Balanced two-factor splits maximize MXU K-width per stage (measured
+    faster than many small-radix stages, whose contractions underfill the
+    128-wide systolic array).
+    """
+    if n <= BASE:
+        return (n,)
+    p = n.bit_length() - 1
+    factors = []
+    pb = BASE.bit_length() - 1
+    nstage = -(-p // pb)          # how many stages are unavoidable
+    base = p // nstage
+    extra = p - base * nstage
+    for i in range(nstage):
+        factors.append(1 << (base + (1 if i < extra else 0)))
+    return tuple(factors)
+
+
+def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
+                  stacked: bool = True) -> dict:
+    """Ordered {key: (real, imag)} numpy tables for a length-n tile FFT.
+
+    With ``stacked`` the DFT matrices are stored in the 2x2 real-stacked
+    form [[Wr, -Wi], [Wi, Wr]] so a complex contraction is one real matmul
+    with doubled K — full MXU width even for 64-point factors.
+    """
+    factors = tuple(factors or default_factors(n))
+    assert math.prod(factors) == n
+    m = len(factors)
+    tables: dict = {}
+    for i, f in enumerate(factors):
+        wr, wi = dft_matrix(f, sign, dtype)
+        if stacked:
+            ws = np.block([[wr, -wi], [wi, wr]])
+            tables.setdefault(("dfts", f), (ws,))
+        else:
+            tables.setdefault(("dft", f), (wr, wi))
+        if i < m - 1:
+            rest = factors[i + 1:]
+            r = math.prod(rest)
+            tr, ti = twiddle_table(f, r, f * r, sign, dtype)
+            shape = (f,) + (1,) * i + rest + (1,)
+            tables[("tw", i, factors)] = (tr.reshape(shape), ti.reshape(shape))
+    return tables
+
+
+def _dg(w, x, axis, precision):
+    dims = (((1,), (axis,)), ((), ()))
+    return jax.lax.dot_general(w, x, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC_MAP[precision])
+
+
+def _cdot(wr, wi, xr, xi, axis, precision):
+    """Complex (w @ x) contracting x's ``axis``, as 4 real contractions.
+    The contracted-out index lands at axis 0 of the outputs."""
+    rr = _dg(wr, xr, axis, precision)
+    ii = _dg(wi, xi, axis, precision)
+    ri = _dg(wr, xi, axis, precision)
+    ir = _dg(wi, xr, axis, precision)
+    return rr - ii, ri + ir
+
+
+def tile_fft(re, im, tables: dict, n: int, factors=None,
+             precision=_PRECISION, stacked: bool = True):
+    """Length-n DFT over axis 0 of an (n, lanes) planar tile.
+
+    Mixed-radix from-the-left formulation: with x viewed as
+    (f_1, ..., f_m, lanes), stage i contracts axis i against the f_i-point
+    DFT matrix.  ``dot_general`` prepends the new spectral digit, so after
+    all m stages the rows flatten to k_m*(n/f_m) + ... + k_1 — exactly the
+    DFT output order: no bit-reversal and no transposes anywhere.
+
+    Pure jnp function — identical under Pallas compilation, interpret mode,
+    or plain tracing (how tests pin the math without TPU hardware).
+    """
+    lanes = re.shape[-1]
+    assert re.shape == (n, lanes), (re.shape, n)
+    factors = tuple(factors or default_factors(n))
+    m = len(factors)
+    xr = re.reshape(*factors, lanes)
+    xi = im.reshape(*factors, lanes)
+    for i, f in enumerate(factors):
+        if stacked:
+            xs = jnp.concatenate([xr, xi], axis=i)
+            (ws,) = tables[("dfts", f)]
+            y = _dg(ws, xs, i, precision)     # (2*k_i, k_prev..., rest, lanes)
+            xr, xi = y[:f], y[f:]
+        else:
+            wr, wi = tables[("dft", f)]
+            xr, xi = _cdot(wr, wi, xr, xi, i, precision)
+        if i < m - 1:
+            twr, twi = tables[("tw", i, factors)]
+            xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
+    return xr.reshape(n, lanes), xi.reshape(n, lanes)
+
+
+def _kernel(n, layout, postscale, factors, precision, stacked, *refs):
+    nt = sum(arity for _, arity in layout)
+    table_refs, re_ref, im_ref, or_ref, oi_ref = (
+        refs[:nt], refs[nt], refs[nt + 1], refs[nt + 2], refs[nt + 3])
+    tables = {}
+    pos = 0
+    for k, arity in layout:
+        tables[k] = tuple(table_refs[pos + j][:] for j in range(arity))
+        pos += arity
+    # batch-major block -> (n, lanes) tile
+    xr = re_ref[:].T
+    xi = im_ref[:].T
+    xr, xi = tile_fft(xr, xi, tables, n, factors, precision, stacked)
+    if postscale != 1.0:
+        s = jnp.float32(postscale)
+        xr = xr * s
+        xi = xi * s
+    or_ref[:] = xr.T
+    oi_ref[:] = xi.T
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
+    "lanes"))
+def _fft_rows(re, im, *, n, sign, postscale, interpret,
+              factors=None, precision=_PRECISION, stacked=True, lanes=LANES):
+    rows = re.shape[0]
+    factors = tuple(factors or default_factors(n))
+    tables = needed_tables(n, sign, factors=factors, stacked=stacked)
+    layout = tuple((k, len(v)) for k, v in tables.items())
+    flat = [jnp.asarray(a) for v in tables.values() for a in v]
+    grid = (pl.cdiv(rows, lanes),)
+    tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
+                          memory_space=pltpu.VMEM) for a in flat]
+    dspec = pl.BlockSpec((lanes, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, n, layout, postscale, factors,
+                             precision, stacked)
+    flops_per = 8 * n * sum(factors) * lanes
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=tspec + [dspec, dspec],
+        out_specs=(dspec, dspec),
+        out_shape=(jax.ShapeDtypeStruct((rows, n), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, n), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * grid[0],
+            bytes_accessed=rows * n * 4 * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            # v5e has far more physical VMEM than the 16 MiB default scoped
+            # limit; the n=4096 tile's working set needs ~24 MiB.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*flat, re, im)
+    return out_r, out_i
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def supported(re, axis: int) -> bool:
     """Whether the Pallas local kernel covers this array/axis combination."""
-    return False  # kernel lands in the next milestone; XLA path covers all
+    if re.dtype != jnp.float32:
+        return False
+    if axis % re.ndim != re.ndim - 1:
+        return False
+    n = re.shape[axis]
+    return is_power_of_two(n) and _MIN_N <= n <= MAX_LOCAL_N
 
 
-def fft_axis(re, im, sign, *, axis):
-    raise NotImplementedError
+def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
+             interpret: bool | None = None, factors=None,
+             precision: str = _PRECISION, stacked: bool = True,
+             lanes: int = LANES):
+    """DFT along ``axis`` (must be the last axis) of planar f32 arrays."""
+    n = re.shape[axis]
+    if interpret is None:
+        interpret = _interpret_default()
+    lead = re.shape[:-1]
+    rows = math.prod(lead) if lead else 1
+    rr, ii = _fft_rows(re.reshape(rows, n), im.reshape(rows, n),
+                       n=n, sign=sign, postscale=float(postscale),
+                       interpret=bool(interpret),
+                       factors=tuple(factors) if factors else None,
+                       precision=precision, stacked=stacked, lanes=lanes)
+    return rr.reshape(*lead, n), ii.reshape(*lead, n)

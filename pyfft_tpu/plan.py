@@ -99,18 +99,27 @@ class Plan:
 
     # ------------------------------------------------------------- executors
 
-    def _run_axis_pass(self, re, im, p: AxisPass, sign: int, ndim: int):
-        """Dispatch one axis pass to its executor."""
+    def _run_axis_pass(self, re, im, p: AxisPass, sign: int, ndim: int,
+                       postscale: float):
+        """Dispatch one axis pass to its executor.
+
+        Returns (re, im, scaled) — ``scaled`` reports whether the executor
+        folded ``postscale`` into its final write (free in the Pallas kernel;
+        a separate multiply would cost an extra HBM round trip).
+        """
         axis = re.ndim - ndim + p.axis
         if p.executor == "local" and not self._force_xla:
             from pyfft_tpu.ops import pallas_local
             if pallas_local.supported(re, axis):
-                return pallas_local.fft_axis(re, im, sign, axis=axis)
+                rr, ii = pallas_local.fft_axis(re, im, sign, axis=axis,
+                                               postscale=postscale)
+                return rr, ii, True
         # "xla" and "fourstep" both lower to the recursive planar matmul
         # path; the explicit (n1, n2) split of a fourstep pass is realized
         # inside fft_planar's recursion. (Pallas four-step lands per axis as
         # kernels widen.)
-        return fft_planar(re, im, sign, axis=axis)
+        rr, ii = fft_planar(re, im, sign, axis=axis)
+        return rr, ii, False
 
     def _build_callable(self, batch_shape: tuple[int, ...], inverse: bool,
                         split: bool):
@@ -122,10 +131,15 @@ class Plan:
         norm *= self.scale
 
         def run_planar(re, im):
-            for p in self._exec_plan.passes:
-                re, im = self._run_axis_pass(re, im, p, sign, ndim)
-            if norm != 1.0:
-                c = jnp.asarray(norm, dtype=re.dtype)
+            scale_left = norm
+            passes = self._exec_plan.passes
+            for idx, p in enumerate(passes):
+                post = scale_left if idx == len(passes) - 1 else 1.0
+                re, im, scaled = self._run_axis_pass(re, im, p, sign, ndim, post)
+                if scaled:
+                    scale_left = 1.0
+            if scale_left != 1.0:
+                c = jnp.asarray(scale_left, dtype=re.dtype)
                 re, im = re * c, im * c
             return re, im
 

@@ -106,11 +106,14 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
     # rides the XLA planar path (f64 via x64, or the double-float path).
     pallas_ok = on_tpu and itemsize == 4
 
+    if max_local_n is None:
+        from pyfft_tpu.ops.pallas_local import MAX_LOCAL_N as max_local_n
+
     passes = []
     ndim = len(shape)
     for axis in reversed(range(ndim)):
         n = shape[axis]
-        if pallas_ok and _local_fits(n, itemsize) and (max_local_n is None or n <= max_local_n):
+        if pallas_ok and _local_fits(n, itemsize) and n <= max_local_n:
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
         elif pallas_ok or n > 1 << 16:
             # Too big for one VMEM tile: four-step through HBM.

@@ -1,0 +1,93 @@
+"""Pallas local-kernel parity tests (interpret mode on CPU; same kernel code
+compiles for TPU — set PYFFT_TPU_TEST_PLATFORM=tpu to run compiled)."""
+
+import numpy as np
+import pytest
+
+from pyfft_tpu.ops import pallas_local
+from pyfft_tpu.ops.pallas_local import fft_axis, needed_tables, tile_fft
+
+from helpers import TOL, rand_complex, rel_err
+
+
+def planar(x):
+    return (np.ascontiguousarray(np.real(x)).astype(np.float32),
+            np.ascontiguousarray(np.imag(x)).astype(np.float32))
+
+
+@pytest.mark.parametrize("n", [8, 16, 64, 128, 256, 1024, 4096])
+@pytest.mark.parametrize("stacked", [True, False])
+def test_tile_fft_parity(n, stacked):
+    """The in-kernel tile math, run as a plain traced function.
+    Tile layout is (n, lanes): transform along axis 0."""
+    import jax.numpy as jnp
+    x = rand_complex((n, 16), seed=n)   # 16 lanes of batch
+    tables = {k: tuple(jnp.asarray(a) for a in v)
+              for k, v in needed_tables(n, -1, stacked=stacked).items()}
+    re, im = planar(x)
+    rr, ii = tile_fft(jnp.asarray(re), jnp.asarray(im), tables, n,
+                      stacked=stacked)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=0)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+@pytest.mark.parametrize("factors", [(16, 16, 16), (4, 32, 32), (2, 2, 2, 2)])
+def test_tile_fft_multi_factor(factors):
+    """Mixed-radix stage chains of any depth agree with numpy."""
+    import jax.numpy as jnp
+    import math
+    n = math.prod(factors)
+    x = rand_complex((n, 8), seed=n + 1)
+    tables = {k: tuple(jnp.asarray(a) for a in v)
+              for k, v in needed_tables(n, -1, factors=factors).items()}
+    re, im = planar(x)
+    rr, ii = tile_fft(jnp.asarray(re), jnp.asarray(im), tables, n,
+                      factors=factors)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=0)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+@pytest.mark.parametrize("n", [8, 128, 1024, 4096])
+@pytest.mark.parametrize("rows", [1, 8, 40, 130])
+def test_kernel_parity(n, rows):
+    """Full pallas_call path (interpret mode), ragged row tiles included."""
+    x = rand_complex((rows, n), seed=rows * 7 + n)
+    re, im = planar(x)
+    rr, ii = fft_axis(re, im, -1, axis=-1)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_kernel_inverse_and_postscale():
+    n = 512
+    x = rand_complex((16, n), seed=5)
+    re, im = planar(x)
+    fr, fi = fft_axis(re, im, -1, axis=-1)
+    br, bi = fft_axis(fr, fi, +1, axis=-1, postscale=1.0 / n)
+    got = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(got, x) < TOL[np.complex64]
+
+
+def test_kernel_leading_dims():
+    """3D input: leading dims fold into rows."""
+    x = rand_complex((3, 5, 256), seed=8)
+    re, im = planar(x)
+    rr, ii = fft_axis(re, im, -1, axis=-1)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_supported():
+    import jax.numpy as jnp
+    a = jnp.zeros((4, 1024), jnp.float32)
+    assert pallas_local.supported(a, 1)
+    assert pallas_local.supported(a, -1)
+    assert not pallas_local.supported(a, 0)
+    assert not pallas_local.supported(jnp.zeros((4, 24), jnp.float32), 1)
+    assert not pallas_local.supported(jnp.zeros((4, 4), jnp.float32), 1)
+    assert not pallas_local.supported(jnp.zeros((4, 1024), jnp.float64), 1)
+    assert not pallas_local.supported(jnp.zeros((4, 2 * pallas_local.MAX_LOCAL_N), jnp.float32), 1)
