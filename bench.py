@@ -1,0 +1,93 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Metric (BASELINE.md): effective GFLOP/s = 5*N*log2(N)*batch / time on the
+headline config (#2: 1D complex64, N=4096, batch=4096), measured with
+device-resident planar data around the jitted Plan executable.
+
+vs_baseline: ratio against the BASELINE.md north-star target = 70% of the
+single-HBM-pass roofline for this config on v5e
+(bytes = 2 * N * batch * 8 at 819 GB/s -> 3071 GFLOP/s effective; target
+= 2150).  1.0 means the north-star is met.
+
+The timing forces execution with a tiny device-side reduction fetch: on this
+environment's TPU tunnel, block_until_ready() is a no-op and full
+device_get drags hundreds of MB over the wire.  k-chained differencing
+removes the fetch latency.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 4096
+BATCH = 4096
+HBM_BW = 819e9  # v5e
+
+
+def _force(tree):
+    return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0].ravel()[:1]))
+
+
+def main():
+    from pyfft_tpu.plan import Plan
+
+    plan = Plan((N,))
+    fn = plan._get_callable((BATCH,), False, "planar")
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    re = jax.random.normal(k1, (BATCH, N), jnp.float32)
+    im = jax.random.normal(k2, (BATCH, N), jnp.float32)
+
+    out = fn(re, im)
+    _force(out)
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = (re, im)
+        for _ in range(k):
+            o = fn(*o)
+        _force(o)
+        return time.perf_counter() - t0
+
+    run(2)
+    ka, kb = 4, 24
+    dt = (run(kb) - run(ka)) / (kb - ka)
+
+    eff_flops = 5.0 * N * math.log2(N) * BATCH
+    gflops = eff_flops / dt / 1e9
+    roof = eff_flops / (2.0 * N * BATCH * 8 / HBM_BW) / 1e9
+    target = 0.70 * roof
+
+    # parity spot check against numpy on a slice
+    rng = np.random.RandomState(1)
+    xs = (rng.standard_normal((16, N)) + 1j * rng.standard_normal((16, N))
+          ).astype(np.complex64)
+    rr, ii = fn(jnp.asarray(xs.real), jnp.asarray(xs.imag))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(xs.astype(np.complex128), axis=-1)
+    err = float(np.abs(got - ref).max() / np.abs(ref).max())
+
+    print(json.dumps({
+        "metric": f"effective GFLOP/s, 1D c64 FFT N={N} batch={BATCH} (5N·log2N/t)",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / target, 4),
+        "extra": {
+            "ms_per_iter": round(dt * 1e3, 4),
+            "max_rel_err_vs_numpy": err,
+            "roofline_gflops": round(roof, 1),
+            "target_gflops_70pct_roofline": round(target, 1),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Distributed FFT over a JAX device mesh.
+
+The reference is strictly single-device (SURVEY.md §2: "no NCCL/MPI/Gloo/UCX
+anywhere"); this module is the TPU-native *extension* the survey names as the
+natural stretch goal: the four-step decomposition's transpose step becomes
+`all_to_all` over ICI, so one transform can span chips, and batch parallelism
+is plain sharding over the data axis.
+
+Mesh contract (mesh axis names are parameters):
+  * ``dp`` — batch parallelism: transforms are independent, no communication.
+  * ``sp`` — sequence parallelism: the transform axis is sharded; a length-N
+    FFT on S devices runs as
+
+      1. all_to_all      j-chunks -> all outer digits j1 for a j2-slice
+      2. local S-point DFT over j1 (the cross-device factor)   [matmul]
+      3. twiddle w_N^(j1_out * j2_global)
+      4. all_to_all      -> full j2 range for this device's k1
+      5. local length-L FFT over j2 (the heavy, on-chip factor — the same
+         planner/kernel stack as single-chip plans)
+      6. all_to_all      strided spectral index -> contiguous shards
+
+All collectives ride the mesh's ICI; nothing touches the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyfft_tpu.ops.twiddle import dft_matrix, twiddle_table
+from pyfft_tpu.reference import fft_planar
+from pyfft_tpu.utils.radix import is_power_of_two
+
+__all__ = ["dist_fft_1d", "make_dist_fft"]
+
+
+def _local_fft(re, im, sign):
+    """On-chip FFT along the last axis inside the shard_map body.
+
+    Uses the XLA planar path (works on every backend inside shard_map);
+    the Pallas local kernel slots in transparently on TPU once per-shard
+    shapes allow it.
+    """
+    return fft_planar(re, im, sign, axis=-1)
+
+
+def _dist_fft_body(re, im, *, sign: int, n: int, s: int, seq_axis: str,
+                   norm: float):
+    """shard_map body: local blocks (..., L) with L = n // s."""
+    L = n // s
+    dtype = re.dtype
+    me = jax.lax.axis_index(seq_axis)
+
+    # Step 1: gather every outer digit j1 for a slice of j2.
+    # local (..., L) -> (..., S, L/S); axis -2 indexes the source device j1.
+    def a2a(x, split, concat):
+        # all_to_all rejects negative axis indices — normalize.
+        return jax.lax.all_to_all(x, seq_axis, split_axis=split % x.ndim,
+                                  concat_axis=concat % x.ndim, tiled=True)
+
+    lead = re.shape[:-1]
+    # all_to_all(tiled): split local axis into S chunks along `split_axis`,
+    # exchange, concatenate along `concat_axis`.  We split j2 (last axis)
+    # and stack the received j1 digits on a new axis:
+    re2 = a2a(re[..., None, :], -1, -2)     # (..., S(j1), L/S(j2 slice))
+    im2 = a2a(im[..., None, :], -1, -2)
+
+    # Step 2: S-point DFT over j1 (cross-device factor) — a small matmul.
+    wr, wi = dft_matrix(s, sign, np.float32 if dtype == jnp.float32 else np.float64)
+    wr = jnp.asarray(wr, dtype)
+    wi = jnp.asarray(wi, dtype)
+    cr = jnp.einsum("kj,...jl->...kl", wr, re2) - jnp.einsum("kj,...jl->...kl", wi, im2)
+    ci = jnp.einsum("kj,...jl->...kl", wr, im2) + jnp.einsum("kj,...jl->...kl", wi, re2)
+
+    # Step 3: twiddle w_N^(k1 * j2_global); j2_global = me*(L/S) + local.
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (s, L // s), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (s, L // s), 1) + me * (L // s)
+    ang = (k1.astype(dtype) * j2.astype(dtype)) * dtype.type(
+        (-2.0 if sign < 0 else 2.0) * math.pi / n)
+    tr, ti = jnp.cos(ang), jnp.sin(ang)
+    dr = cr * tr - ci * ti
+    di = cr * ti + ci * tr
+
+    # Step 4: full j2 range for this device's k1 digit.
+    er = a2a(dr, -2, -1)                     # (..., 1, L)
+    ei = a2a(di, -2, -1)
+    er = er.reshape(*lead, L)
+    ei = ei.reshape(*lead, L)
+
+    # Step 5: the heavy on-chip factor.
+    fr, fi = _local_fft(er, ei, sign)        # (..., L) over k2
+
+    # Step 6: strided k = k2*S + k1(=me) -> contiguous shards.
+    gr = a2a(fr.reshape(*lead, s, L // s), -2, -1)   # (..., S(k1 src), L/S)
+    gi = a2a(fi.reshape(*lead, s, L // s), -2, -1)
+    # wait-free local interleave: out_local[m*S + u] = g[u, m]
+    gr = jnp.swapaxes(gr.reshape(*lead, s, L // s), -1, -2).reshape(*lead, L)
+    gi = jnp.swapaxes(gi.reshape(*lead, s, L // s), -1, -2).reshape(*lead, L)
+    if norm != 1.0:
+        c = dtype.type(norm)
+        gr, gi = gr * c, gi * c
+    return gr, gi
+
+
+def make_dist_fft(mesh: Mesh, n: int, *, batch_axis: str = "dp",
+                  seq_axis: str = "sp", sign: int = -1,
+                  normalize: bool = False):
+    """Build a jitted distributed 1D FFT over ``mesh``.
+
+    Input/output: planar (re, im) arrays of shape (B, n), batch sharded over
+    ``batch_axis`` and the transform axis sharded over ``seq_axis``.
+    """
+    if not is_power_of_two(n):
+        raise ValueError(f"n={n} is not a power of two")
+    s = mesh.shape[seq_axis]
+    if n % (s * s) != 0:
+        raise ValueError(f"n={n} must be divisible by seq_parallel^2={s*s}")
+    norm = (1.0 / n) if (normalize and sign > 0) else 1.0
+
+    spec = P(batch_axis, seq_axis)
+    body = functools.partial(_dist_fft_body, sign=sign, n=n, s=s,
+                             seq_axis=seq_axis, norm=norm)
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=(spec, spec))
+    return jax.jit(mapped)
+
+
+def dist_fft_1d(re, im, mesh: Mesh, *, sign: int = -1,
+                batch_axis: str = "dp", seq_axis: str = "sp",
+                normalize: bool = False):
+    """One-shot distributed FFT of planar (B, N) arrays over ``mesh``."""
+    n = re.shape[-1]
+    fn = make_dist_fft(mesh, n, batch_axis=batch_axis, seq_axis=seq_axis,
+                       sign=sign, normalize=normalize)
+    spec = NamedSharding(mesh, P(batch_axis, seq_axis))
+    re = jax.device_put(re, spec)
+    im = jax.device_put(im, spec)
+    return fn(re, im)

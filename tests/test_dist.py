@@ -1,0 +1,49 @@
+"""Distributed FFT over the 8-virtual-device CPU mesh (conftest forces it).
+
+Validates the shard_map four-step: batch sharding over 'dp', transform-axis
+sharding over 'sp' with all_to_all exchanges, vs numpy.fft.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pyfft_tpu.parallel import dist_fft_1d, make_dist_fft
+
+from helpers import TOL, rand_complex, rel_err
+
+
+def _mesh(dp, sp):
+    devs = np.array(jax.devices()[: dp * sp]).reshape(dp, sp)
+    return Mesh(devs, ("dp", "sp"))
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_dist_fft_parity(dp, sp):
+    mesh = _mesh(dp, sp)
+    n, b = 512, 8
+    x = rand_complex((b, n), seed=dp * 10 + sp)
+    re, im = dist_fft_1d(np.real(x).copy(), np.imag(x).copy(), mesh)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_dist_fft_roundtrip():
+    mesh = _mesh(2, 4)
+    n, b = 1024, 4
+    x = rand_complex((b, n), seed=3)
+    fr, fi = dist_fft_1d(np.real(x).copy(), np.imag(x).copy(), mesh, sign=-1)
+    br, bi = dist_fft_1d(np.asarray(fr), np.asarray(fi), mesh, sign=+1,
+                         normalize=True)
+    got = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(got, x) < TOL[np.complex64]
+
+
+def test_make_dist_fft_validates():
+    mesh = _mesh(1, 8)
+    with pytest.raises(ValueError):
+        make_dist_fft(mesh, 24)
+    with pytest.raises(ValueError):
+        make_dist_fft(mesh, 32)  # 32 < 8*8
