@@ -1,0 +1,129 @@
+"""BASELINE.md acceptance suite: all five configs, accuracy + GFLOP/s.
+
+Run on TPU:   python benchmarks/acceptance.py
+Reduced CPU:  JAX_PLATFORMS=cpu python benchmarks/acceptance.py --small
+
+Prints one human-readable table and writes benchmarks/results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def force(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return float(jnp.sum(leaves[0].ravel()[:1]))
+
+
+def bench(fn, args, k1=2, k2=10):
+    o = fn(*args)
+    force(o)
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = args
+        for _ in range(k):
+            o = fn(*o)
+        force(o)
+        return time.perf_counter() - t0
+
+    run(1)
+    return (run(k2) - run(k1)) / (k2 - k1)
+
+
+def parity(fn, shape, batch, dtype, check_rows=2, seed=1):
+    rng = np.random.RandomState(seed)
+    full = (max(batch, check_rows),) + shape
+    x = (rng.standard_normal(full) + 1j * rng.standard_normal(full)).astype(dtype)
+    x = x[:check_rows]
+    real_dt = np.float32 if dtype == np.complex64 else np.float64
+    rr, ii = fn(jnp.asarray(x.real.astype(real_dt)),
+                jnp.asarray(x.imag.astype(real_dt)))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x.astype(np.complex128),
+                      axes=tuple(range(1, 1 + len(shape))))
+    return float(np.abs(got - ref).max() / np.abs(ref).max())
+
+
+def run_config(name, shape, batch, dtype, iters=10):
+    from pyfft_tpu.plan import Plan
+
+    plan = Plan(shape, dtype)
+    bshape = (batch,) if batch > 1 else ()
+    fn = plan._get_callable(bshape, False, "planar")
+    real_dt = jnp.float32 if dtype == np.complex64 else jnp.float64
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    full = bshape + shape
+    re = jax.random.normal(k1, full, jnp.float32).astype(real_dt)
+    im = jax.random.normal(k2, full, jnp.float32).astype(real_dt)
+    dt = bench(fn, (re, im), k2=iters)
+    n = math.prod(shape)
+    gf = 5 * n * math.log2(n) * batch / dt / 1e9
+    err = parity(fn if batch > 1 else (lambda r, i: plan._get_callable(
+        (2,), False, "planar")(r, i)), shape, batch, dtype)
+    tol = 2e-6 if dtype == np.complex64 else 1e-11
+    status = "PASS" if err < tol else "FAIL"
+    row = dict(config=name, shape=shape, batch=batch,
+               dtype=np.dtype(dtype).name, ms=round(dt * 1e3, 3),
+               gflops=round(gf, 1), max_rel_err=err, tol=tol, status=status)
+    print(f"{name:38s} {dt*1e3:9.3f} ms {gf:9.1f} GF  err={err:.2e} {status}",
+          flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="reduced sizes (CPU-runnable)")
+    args = ap.parse_args()
+    jax.config.update("jax_enable_x64", True)
+
+    if args.small:
+        configs = [
+            ("1: 1D c64 N=1024 b=1", (1024,), 1, np.complex64),
+            ("2: 1D c64 N=4096 b=64", (4096,), 64, np.complex64),
+            ("3: 2D c64 256^2 b=4", (256, 256), 4, np.complex64),
+            ("4: 3D c64 64^3", (64, 64, 64), 1, np.complex64),
+            ("5: 1D c128 N=2^18 b=2", (1 << 18,), 2, np.complex128),
+        ]
+    else:
+        configs = [
+            ("1: 1D c64 N=1024 b=1", (1024,), 1, np.complex64),
+            ("2: 1D c64 N=4096 b=4096", (4096,), 4096, np.complex64),
+            ("3: 2D c64 1024^2 b=16", (1024, 1024), 16, np.complex64),
+            ("4: 3D c64 256^3", (256, 256, 256), 1, np.complex64),
+            ("5: 1D c128 N=2^22 b=64", (1 << 22,), 64, np.complex128),
+        ]
+
+    rows = []
+    for cfg in configs:
+        try:
+            rows.append(run_config(*cfg))
+        except Exception as e:
+            print(f"{cfg[0]:38s} ERROR {str(e).splitlines()[0][:90]}",
+                  flush=True)
+            rows.append(dict(config=cfg[0], error=str(e).splitlines()[0][:200]))
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(dict(backend=jax.default_backend(), rows=rows), f, indent=1)
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

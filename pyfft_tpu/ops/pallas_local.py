@@ -227,9 +227,96 @@ def _fft_rows(re, im, *, n, sign, postscale, interpret,
             # v5e has far more physical VMEM than the 16 MiB default scoped
             # limit; the n=4096 tile's working set needs ~24 MiB.
             vmem_limit_bytes=100 * 1024 * 1024,
+            # row tiles are independent: lets Mosaic overlap the block DMAs
+            # of step i+1 with step i's compute
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(*flat, re, im)
+    return out_r, out_i
+
+
+def _col_kernel(n, layout, postscale, factors, precision, stacked,
+                has_tw, *refs):
+    nt = sum(arity for _, arity in layout)
+    table_refs = refs[:nt]
+    pos = nt
+    twr_ref = twi_ref = None
+    if has_tw:
+        twr_ref, twi_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    re_ref, im_ref, or_ref, oi_ref = refs[pos:pos + 4]
+    tables = {}
+    tpos = 0
+    for k, arity in layout:
+        tables[k] = tuple(table_refs[tpos + j][:] for j in range(arity))
+        tpos += arity
+    # (1, n, lanes) block: the transform axis already sits on sublanes —
+    # no transposes at all (the advantage of column passes on TPU).
+    xr, xi = tile_fft(re_ref[0], im_ref[0], tables, n, factors, precision,
+                      stacked)
+    if has_tw:
+        # fused inter-pass twiddle of the four-step global path:
+        # T[k, j2] with j2 = this tile's lane slice
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
+    if postscale != 1.0:
+        s = jnp.float32(postscale)
+        xr = xr * s
+        xi = xi * s
+    or_ref[0] = xr
+    oi_ref[0] = xi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
+    "lanes", "tw_n"))
+def _fft_cols(re, im, *, n, sign, postscale, interpret,
+              factors=None, precision=_PRECISION, stacked=True, lanes=LANES,
+              tw_n: int = 0):
+    """FFT over axis 1 of (L, n, T) planar arrays (column kernel).
+
+    ``tw_n``: if nonzero, multiply the spectral output elementwise by the
+    four-step twiddle T[k, j] = w_{tw_n}^(k*j) with j the global position
+    along the trailing axis — fusing the inter-pass twiddle of a length
+    ``tw_n`` global transform into this pass for free.
+    """
+    L, _, T = re.shape
+    factors = tuple(factors or default_factors(n))
+    tables = needed_tables(n, sign, factors=factors, stacked=stacked)
+    layout = tuple((k, len(v)) for k, v in tables.items())
+    flat = [jnp.asarray(a) for v in tables.values() for a in v]
+    grid = (L, pl.cdiv(T, lanes))
+    tspec = [pl.BlockSpec(a.shape, lambda i, j, _nd=a.ndim: (0,) * _nd,
+                          memory_space=pltpu.VMEM) for a in flat]
+    extra = []
+    if tw_n:
+        twr, twi = twiddle_table(n, T, tw_n, sign)
+        extra = [jnp.asarray(twr), jnp.asarray(twi)]
+        tspec = tspec + [pl.BlockSpec((n, lanes), lambda i, j: (0, j),
+                                      memory_space=pltpu.VMEM)] * 2
+    dspec = pl.BlockSpec((1, n, lanes), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_col_kernel, n, layout, postscale, factors,
+                             precision, stacked, bool(tw_n))
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=tspec + [dspec, dspec],
+        out_specs=(dspec, dspec),
+        out_shape=(jax.ShapeDtypeStruct((L, n, T), jnp.float32),
+                   jax.ShapeDtypeStruct((L, n, T), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * sum(factors) * lanes * grid[0] * grid[1],
+            bytes_accessed=L * n * T * 4 * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*flat, *extra, re, im)
     return out_r, out_i
 
 
@@ -241,25 +328,45 @@ def supported(re, axis: int) -> bool:
     """Whether the Pallas local kernel covers this array/axis combination."""
     if re.dtype != jnp.float32:
         return False
-    if axis % re.ndim != re.ndim - 1:
-        return False
+    axis = axis % re.ndim
     n = re.shape[axis]
-    return is_power_of_two(n) and _MIN_N <= n <= MAX_LOCAL_N
+    if not (is_power_of_two(n) and _MIN_N <= n <= MAX_LOCAL_N):
+        return False
+    if axis == re.ndim - 1:
+        return True
+    # column pass: trailing dims become lanes; need at least one lane tile
+    trail = math.prod(re.shape[axis + 1:])
+    return trail >= LANES
 
 
 def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
              interpret: bool | None = None, factors=None,
              precision: str = _PRECISION, stacked: bool = True,
-             lanes: int = LANES):
-    """DFT along ``axis`` (must be the last axis) of planar f32 arrays."""
+             lanes: int = LANES, tw_n: int = 0):
+    """DFT along ``axis`` of planar f32 arrays.
+
+    Last axis -> row kernel (in-VMEM transpose brackets); any other axis ->
+    column kernel (transform already on sublanes: zero transposes).
+    ``tw_n`` (column passes only): fuse the four-step inter-pass twiddle —
+    see ``_fft_cols``.
+    """
+    axis = axis % re.ndim
     n = re.shape[axis]
     if interpret is None:
         interpret = _interpret_default()
-    lead = re.shape[:-1]
-    rows = math.prod(lead) if lead else 1
-    rr, ii = _fft_rows(re.reshape(rows, n), im.reshape(rows, n),
-                       n=n, sign=sign, postscale=float(postscale),
-                       interpret=bool(interpret),
-                       factors=tuple(factors) if factors else None,
-                       precision=precision, stacked=stacked, lanes=lanes)
-    return rr.reshape(*lead, n), ii.reshape(*lead, n)
+    kw = dict(n=n, sign=sign, postscale=float(postscale),
+              interpret=bool(interpret),
+              factors=tuple(factors) if factors else None,
+              precision=precision, stacked=stacked, lanes=lanes)
+    shape = re.shape
+    if axis == re.ndim - 1:
+        assert not tw_n, "fused twiddle is a column-pass feature"
+        lead = shape[:-1]
+        rows = math.prod(lead) if lead else 1
+        rr, ii = _fft_rows(re.reshape(rows, n), im.reshape(rows, n), **kw)
+        return rr.reshape(*lead, n), ii.reshape(*lead, n)
+    lead = math.prod(shape[:axis]) if axis else 1
+    trail = math.prod(shape[axis + 1:])
+    rr, ii = _fft_cols(re.reshape(lead, n, trail),
+                       im.reshape(lead, n, trail), tw_n=tw_n, **kw)
+    return rr.reshape(shape), ii.reshape(shape)

@@ -114,10 +114,14 @@ class Plan:
                 rr, ii = pallas_local.fft_axis(re, im, sign, axis=axis,
                                                postscale=postscale)
                 return rr, ii, True
-        # "xla" and "fourstep" both lower to the recursive planar matmul
-        # path; the explicit (n1, n2) split of a fourstep pass is realized
-        # inside fft_planar's recursion. (Pallas four-step lands per axis as
-        # kernels widen.)
+        if p.executor == "fourstep" and not self._force_xla:
+            from pyfft_tpu.ops import fourstep
+            if fourstep.supported(re, axis):
+                rr, ii = fourstep.fft_axis_large(re, im, sign, axis=axis,
+                                                 postscale=postscale)
+                return rr, ii, True
+        # XLA fallback: the recursive planar matmul path (covers f64, tiny
+        # sizes, non-TPU backends, and axes the kernels don't take yet).
         rr, ii = fft_planar(re, im, sign, axis=axis)
         return rr, ii, False
 

@@ -25,7 +25,7 @@ from typing import Literal
 
 import numpy as np
 
-from pyfft_tpu.utils.radix import fourstep_split, ilog2, is_power_of_two
+from pyfft_tpu.utils.radix import ilog2, is_power_of_two
 
 __all__ = ["AxisPass", "ExecPlan", "build_plan", "VMEM_BUDGET_BYTES"]
 
@@ -115,13 +115,14 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
         n = shape[axis]
         if pallas_ok and _local_fits(n, itemsize) and n <= max_local_n:
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
-        elif pallas_ok or n > 1 << 16:
-            # Too big for one VMEM tile: four-step through HBM.
-            n2 = 1 << 11
-            while not _local_fits(n2, itemsize) and n2 > 2:
-                n2 >>= 1
-            n1, n2 = fourstep_split(n, n2) if n > n2 else (1, n)
-            passes.append(AxisPass(axis=axis, n=n, executor="fourstep", split=(n1, n2)))
+        elif (pallas_ok and axis == ndim - 1
+              and max_local_n < n <= max_local_n * max_local_n):
+            # Beyond one VMEM tile: three-pass four-step through HBM
+            # (column FFT + fused twiddle, row FFT, digit-swap transpose).
+            p = ilog2(n)
+            n1 = 1 << ((p + 1) // 2)
+            passes.append(AxisPass(axis=axis, n=n, executor="fourstep",
+                                   split=(n1, n // n1)))
         else:
             passes.append(AxisPass(axis=axis, n=n, executor="xla"))
     return ExecPlan(shape=shape, dtype=dtype, passes=tuple(passes),

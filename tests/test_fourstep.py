@@ -1,0 +1,49 @@
+"""Four-step global path parity (interpret mode, reduced max_local so the
+multi-pass machinery runs at CPU-friendly sizes)."""
+
+import numpy as np
+import pytest
+
+from pyfft_tpu.ops import fourstep
+
+from helpers import TOL, rand_complex, rel_err
+
+
+def planar(x):
+    return (np.ascontiguousarray(np.real(x)).astype(np.float32),
+            np.ascontiguousarray(np.imag(x)).astype(np.float32))
+
+
+@pytest.mark.parametrize("n,max_local", [
+    (4096, 256),     # 64 x 64 split, both far below the cap
+    (65536, 256),    # 256 x 256: both factors AT the cap
+    (2048, 256),     # unbalanced 64 x 32
+])
+def test_fourstep_parity(n, max_local):
+    x = rand_complex((4, n), seed=n % 1000)
+    re, im = planar(x)
+    rr, ii = fourstep.fft_axis_large(re, im, -1, axis=-1,
+                                     max_local=max_local, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_fourstep_inverse_postscale():
+    n = 4096
+    x = rand_complex((2, n), seed=9)
+    re, im = planar(x)
+    fr, fi = fourstep.fft_axis_large(re, im, -1, axis=-1, max_local=256,
+                                     interpret=True)
+    br, bi = fourstep.fft_axis_large(fr, fi, +1, axis=-1, max_local=256,
+                                     postscale=1.0 / n, interpret=True)
+    got = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(got, x) < TOL[np.complex64]
+
+
+def test_choose_split():
+    assert fourstep.choose_split(1 << 22) == (2048, 2048)
+    assert fourstep.choose_split(1 << 13) == (128, 64) or \
+        fourstep.choose_split(1 << 13)[0] * fourstep.choose_split(1 << 13)[1] == 1 << 13
+    with pytest.raises(ValueError):
+        fourstep.choose_split(1 << 25, max_local=256)

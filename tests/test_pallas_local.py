@@ -91,3 +91,27 @@ def test_supported():
     assert not pallas_local.supported(jnp.zeros((4, 4), jnp.float32), 1)
     assert not pallas_local.supported(jnp.zeros((4, 1024), jnp.float64), 1)
     assert not pallas_local.supported(jnp.zeros((4, 2 * pallas_local.MAX_LOCAL_N), jnp.float32), 1)
+
+
+@pytest.mark.parametrize("shape,axis", [
+    ((2, 256, 256), 1),       # 2D column pass (batched)
+    ((512, 256), 0),          # 2D column, no lead
+    ((2, 64, 32, 128), 1),    # 3D z-axis (trailing dims fold to lanes)
+    ((128, 140), 0),          # ragged lanes
+])
+def test_column_kernel_parity(shape, axis):
+    x = rand_complex(shape, seed=sum(shape))
+    re, im = planar(x)
+    rr, ii = fft_axis(re, im, -1, axis=axis)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=axis)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_column_kernel_supported():
+    import jax.numpy as jnp
+    a = jnp.zeros((4, 1024, 256), jnp.float32)
+    assert pallas_local.supported(a, 1)
+    assert pallas_local.supported(a, -2)
+    b = jnp.zeros((1024, 64), jnp.float32)   # too few lanes for a column pass
+    assert not pallas_local.supported(b, 0)
