@@ -134,7 +134,7 @@ class Plan:
             norm /= self._exec_plan.total_n
         norm *= self.scale
 
-        def run_planar(re, im):
+        def run_planar_once(re, im):
             scale_left = norm
             passes = self._exec_plan.passes
             for idx, p in enumerate(passes):
@@ -146,6 +146,33 @@ class Plan:
                 c = jnp.asarray(scale_left, dtype=re.dtype)
                 re, im = re * c, im * c
             return re, im
+
+        def run_planar(re, im):
+            # HBM guard: the multi-pass XLA path materializes several
+            # transform-sized temporaries; for huge batched transforms,
+            # sweep the batch in chunks with lax.map (sequential on-device,
+            # same compiled body per chunk) — the TPU analog of the
+            # reference's per-batch kernel grid scaling without holding
+            # every intermediate at once.
+            batch = math.prod(batch_shape) if batch_shape else 1
+            per_row = self._exec_plan.total_n * self._exec_plan.itemsize_plane
+            # the f64 recursion holds ~2x more live temporaries (measured:
+            # fudge 16 still OOMed a 16 GiB chip on config 5)
+            fudge = 32 if self._exec_plan.itemsize_plane == 8 else 8
+            budget = 4 << 30
+            if batch <= 1 or batch * per_row * fudge <= budget:
+                return run_planar_once(re, im)
+            chunk = max(1, budget // (per_row * fudge))
+            while batch % chunk:
+                chunk -= 1
+            if chunk == batch:
+                return run_planar_once(re, im)
+            lead = re.shape[:len(batch_shape)]
+            tail = re.shape[len(batch_shape):]
+            rr = re.reshape(batch // chunk, chunk, *tail)
+            ii = im.reshape(batch // chunk, chunk, *tail)
+            orr, oii = jax.lax.map(lambda t: run_planar_once(*t), (rr, ii))
+            return orr.reshape(*lead, *tail), oii.reshape(*lead, *tail)
 
         if split == "planar":
             def fn(re, im):

@@ -1,0 +1,71 @@
+"""Profiling & timing utilities.
+
+The reference had no built-in observability — timing lived only in its
+performance test script (SURVEY.md §5 "tracing/profiling: none built in").
+This module is the upgrade the survey prescribes: `jax.profiler` trace
+capture plus robust wall-clock timing that works on backends where
+``block_until_ready`` doesn't actually block (this environment's TPU
+tunnel — execution is forced with a tiny device-side reduction instead).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["trace", "force", "time_chained", "effective_gflops"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def force(tree) -> float:
+    """Force execution of everything ``tree`` depends on.
+
+    Fetches a single element through a device-side reduction — forces the
+    whole dependency chain even where ``block_until_ready`` is a no-op,
+    without dragging the array to the host.
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if isinstance(x, jax.Array)]
+    return float(jnp.sum(leaves[0].ravel()[:1]))
+
+
+def time_chained(fn, args, k_small: int = 2, k_large: int = 12) -> float:
+    """Seconds per call of ``fn`` via k-chained differencing.
+
+    Runs fn k times feeding each output back as input (forcing sequential
+    execution), forces once at the end, and differences two chain lengths
+    to cancel dispatch/fetch latency.  ``fn`` must map its args to a
+    structurally identical output (true for planar FFTs).
+    """
+    o = fn(*args)
+    force(o)
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = args
+        for _ in range(k):
+            o = fn(*o)
+        force(o)
+        return time.perf_counter() - t0
+
+    run(1)
+    return (run(k_large) - run(k_small)) / (k_large - k_small)
+
+
+def effective_gflops(shape, batch: int, seconds: float) -> float:
+    """The reference's throughput metric: 5*N*log2(N)*batch / t (SURVEY §4)."""
+    n = math.prod(shape) if not isinstance(shape, int) else shape
+    return 5.0 * n * math.log2(n) * batch / seconds / 1e9
