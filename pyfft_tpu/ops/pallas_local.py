@@ -174,33 +174,43 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
     return xr.reshape(n, lanes), xi.reshape(n, lanes)
 
 
-def _kernel(n, layout, postscale, factors, precision, stacked, *refs):
+def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
+            *refs):
     nt = sum(arity for _, arity in layout)
-    table_refs, re_ref, im_ref, or_ref, oi_ref = (
-        refs[:nt], refs[nt], refs[nt + 1], refs[nt + 2], refs[nt + 3])
+    table_refs = refs[:nt]
     tables = {}
     pos = 0
     for k, arity in layout:
         tables[k] = tuple(table_refs[pos + j][:] for j in range(arity))
         pos += arity
-    # batch-major block -> (n, lanes) tile
-    xr = re_ref[:].T
-    xi = im_ref[:].T
+    if interleaved:
+        # One (lanes, 2n) block of interleaved complex (a bitcast view of
+        # complex64).  After the load transpose, rows alternate re/im —
+        # (2n, L) -> (n, 2, L) is a free row reshape, so de/interleaving
+        # costs nothing here (the transform-major layout's bonus).
+        (v_ref, o_ref) = refs[nt], refs[nt + 1]
+        pairs = v_ref[:].T.reshape(n, 2, -1)
+        xr = pairs[:, 0, :]
+        xi = pairs[:, 1, :]
+    else:
+        re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
+        xr = re_ref[:].T
+        xi = im_ref[:].T
     xr, xi = tile_fft(xr, xi, tables, n, factors, precision, stacked)
     if postscale != 1.0:
         s = jnp.float32(postscale)
         xr = xr * s
         xi = xi * s
-    or_ref[:] = xr.T
-    oi_ref[:] = xi.T
+    if interleaved:
+        out = jnp.stack([xr, xi], axis=1).reshape(2 * n, -1)
+        o_ref[:] = out.T
+    else:
+        or_ref[:] = xr.T
+        oi_ref[:] = xi.T
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes"))
-def _fft_rows(re, im, *, n, sign, postscale, interpret,
-              factors=None, precision=_PRECISION, stacked=True, lanes=LANES):
-    rows = re.shape[0]
+def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
+              precision, stacked, lanes, interleaved):
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
     layout = tuple((k, len(v)) for k, v in tables.items())
@@ -208,19 +218,27 @@ def _fft_rows(re, im, *, n, sign, postscale, interpret,
     grid = (pl.cdiv(rows, lanes),)
     tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
                           memory_space=pltpu.VMEM) for a in flat]
-    dspec = pl.BlockSpec((lanes, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    width = 2 * n if interleaved else n
+    dspec = pl.BlockSpec((lanes, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, n, layout, postscale, factors,
-                             precision, stacked)
-    flops_per = 8 * n * sum(factors) * lanes
-    out_r, out_i = pl.pallas_call(
+                             precision, stacked, interleaved)
+    if interleaved:
+        out_shape = jax.ShapeDtypeStruct((rows, width), jnp.float32)
+        out_specs = dspec
+        in_specs = tspec + [dspec]
+    else:
+        out_shape = (jax.ShapeDtypeStruct((rows, n), jnp.float32),) * 2
+        out_specs = (dspec, dspec)
+        in_specs = tspec + [dspec, dspec]
+    return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=tspec + [dspec, dspec],
-        out_specs=(dspec, dspec),
-        out_shape=(jax.ShapeDtypeStruct((rows, n), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, n), jnp.float32)),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=flops_per * grid[0],
+            flops=8 * n * sum(factors) * lanes * grid[0],
             bytes_accessed=rows * n * 4 * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
@@ -232,8 +250,52 @@ def _fft_rows(re, im, *, n, sign, postscale, interpret,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*flat, re, im)
+    )(*flat, *inputs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
+    "lanes"))
+def _fft_rows(re, im, *, n, sign, postscale, interpret,
+              factors=None, precision=_PRECISION, stacked=True, lanes=LANES):
+    out_r, out_i = _row_call(
+        (re, im), re.shape[0], n, sign=sign, postscale=postscale,
+        interpret=interpret, factors=factors, precision=precision,
+        stacked=stacked, lanes=lanes, interleaved=False)
     return out_r, out_i
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
+    "lanes"))
+def _fft_rows_interleaved(v, *, n, sign, postscale, interpret,
+                          factors=None, precision=_PRECISION, stacked=True,
+                          lanes=LANES):
+    """FFT of (rows, 2n) interleaved-complex f32 views, fully fused.
+
+    The input is the bitcast view of a complex64 (rows, n) array
+    (re0,im0,re1,im1,...); the kernel de/re-interleaves for free inside the
+    load/store transposes, so the pyfft-style interleaved API costs exactly
+    one HBM round trip — no separate conversion passes.
+    """
+    return _row_call(
+        (v,), v.shape[0], n, sign=sign, postscale=postscale,
+        interpret=interpret, factors=factors, precision=precision,
+        stacked=stacked, lanes=lanes, interleaved=True)
+
+
+def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
+                         interpret: bool | None = None):
+    """Public wrapper: v is a (..., 2n) f32 view of interleaved complex."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = v.shape[-1] // 2
+    lead = v.shape[:-1]
+    rows = math.prod(lead) if lead else 1
+    out = _fft_rows_interleaved(v.reshape(rows, 2 * n), n=n, sign=sign,
+                                postscale=float(postscale),
+                                interpret=bool(interpret))
+    return out.reshape(*lead, 2 * n)
 
 
 def _col_kernel(n, layout, postscale, factors, precision, stacked,

@@ -75,7 +75,7 @@ class Plan:
                  scale: float = 1.0, fast_math: bool = True,
                  wait_for_finish: bool | None = None,
                  context: Any = None, stream: Any = None, queue: Any = None,
-                 force_xla: bool = False):
+                 force_xla: bool = False, donate: bool = False):
         if isinstance(shape, (int, np.integer)):
             shape = (int(shape),)
         self.shape = tuple(int(s) for s in shape)
@@ -93,6 +93,11 @@ class Plan:
             wait_for_finish = stream is None and queue is None
         self.wait_for_finish = bool(wait_for_finish)
         self._force_xla = bool(force_xla)
+        # donate=True reuses input buffers for outputs (halves peak HBM for
+        # huge transforms) — the analog of the reference's in-place execute,
+        # which overwrote the input GPU buffer.  Device-array inputs are
+        # invalidated after the call.
+        self.donate = bool(donate)
         self._exec_plan: ExecPlan = build_plan(
             self.shape, self.dtype, on_tpu=_on_tpu() and not force_xla)
         self._jit_cache: dict = {}
@@ -154,11 +159,12 @@ class Plan:
             # same compiled body per chunk) — the TPU analog of the
             # reference's per-batch kernel grid scaling without holding
             # every intermediate at once.
-            batch = math.prod(batch_shape) if batch_shape else 1
+            bdims = re.ndim - ndim
+            batch = math.prod(re.shape[:bdims]) if bdims else 1
             per_row = self._exec_plan.total_n * self._exec_plan.itemsize_plane
             # the f64 recursion holds ~2x more live temporaries (measured:
-            # fudge 16 still OOMed a 16 GiB chip on config 5)
-            fudge = 32 if self._exec_plan.itemsize_plane == 8 else 8
+            # fudge 32 still left config 5 135 MiB over a 16 GiB chip)
+            fudge = 64 if self._exec_plan.itemsize_plane == 8 else 8
             budget = 4 << 30
             if batch <= 1 or batch * per_row * fudge <= budget:
                 return run_planar_once(re, im)
@@ -167,8 +173,8 @@ class Plan:
                 chunk -= 1
             if chunk == batch:
                 return run_planar_once(re, im)
-            lead = re.shape[:len(batch_shape)]
-            tail = re.shape[len(batch_shape):]
+            lead = re.shape[:bdims]
+            tail = re.shape[bdims:]
             rr = re.reshape(batch // chunk, chunk, *tail)
             ii = im.reshape(batch // chunk, chunk, *tail)
             orr, oii = jax.lax.map(lambda t: run_planar_once(*t), (rr, ii))
@@ -182,13 +188,30 @@ class Plan:
                 re, im = run_planar(jnp.real(x), jnp.imag(x))
                 return jax.lax.complex(re, im)
         else:  # "view": interleaved (..., 2N) real array, re/im in lanes
+            passes = self._exec_plan.passes
+            fused_1d = (len(passes) == 1 and passes[0].executor == "local"
+                        and not self._force_xla)
+
             def fn(v):
+                if fused_1d:
+                    # 1D interleaved: de/re-interleave fuse into the row
+                    # kernel's load/store for free — one HBM round trip for
+                    # the reference-style interleaved API.
+                    from pyfft_tpu.ops import pallas_local
+                    n = v.shape[-1] // 2
+                    probe = jax.ShapeDtypeStruct(v.shape[:-1] + (n,), v.dtype)
+                    if pallas_local.supported(probe, v.ndim - 1):
+                        return pallas_local.fft_rows_interleaved(
+                            v, sign, postscale=norm)
                 pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
                 re, im = pairs[..., 0], pairs[..., 1]
                 re, im = run_planar(re, im)
                 out = jnp.stack([re, im], axis=-1)
                 return out.reshape(v.shape)
-        return jax.jit(fn)
+        donate = ()
+        if self.donate:
+            donate = (0, 1) if split == "planar" else (0,)
+        return jax.jit(fn, donate_argnums=donate)
 
     def _get_callable(self, batch_shape, inverse, split):
         key = (batch_shape, inverse, split)

@@ -115,3 +115,20 @@ def test_column_kernel_supported():
     assert pallas_local.supported(a, -2)
     b = jnp.zeros((1024, 64), jnp.float32)   # too few lanes for a column pass
     assert not pallas_local.supported(b, 0)
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+@pytest.mark.parametrize("rows", [1, 40])
+def test_interleaved_fused_kernel(n, rows):
+    """Interleaved (bitcast complex view) in/out, fully fused."""
+    from pyfft_tpu.ops.pallas_local import fft_rows_interleaved
+    x = rand_complex((rows, n), seed=n + rows)
+    v = np.ascontiguousarray(x).view(np.float32)       # (rows, 2n)
+    out = np.asarray(fft_rows_interleaved(v, -1)).view(np.complex64)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(out, ref) < TOL[np.complex64]
+    # inverse with postscale
+    back = np.asarray(fft_rows_interleaved(
+        np.ascontiguousarray(out).view(np.float32), +1,
+        postscale=1.0 / n)).view(np.complex64)
+    assert rel_err(back, x) < TOL[np.complex64]

@@ -152,3 +152,40 @@ def test_backend_shims():
 
 def test_repr():
     assert "1024" in repr(Plan((1024,)))
+
+
+def test_view_path_interleaved(monkeypatch):
+    """The TPU interleaved path (host bitcast view -> planar device compute)
+    — forced on CPU by pretending complex dtypes are unavailable."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_complex_on_device_ok", lambda: False)
+    x = rand_complex((4, 512), seed=21)
+    plan = Plan((512,))
+    out = plan.execute(x)
+    assert isinstance(out, np.ndarray) and out.dtype == np.complex64
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(out, ref) < TOL[np.complex64]
+    rt = plan.execute(out, inverse=True)
+    assert rel_err(rt, x) < TOL[np.complex64]
+
+
+def test_view_path_2d(monkeypatch):
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_complex_on_device_ok", lambda: False)
+    x = rand_complex((2, 64, 128), seed=22)
+    plan = Plan((64, 128))
+    out = plan.execute(x)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    assert rel_err(out, ref) < TOL[np.complex64]
+
+
+def test_donate_plan():
+    import jax.numpy as jnp
+    x = rand_complex((8, 256), seed=23)
+    plan = Plan((256,), donate=True)
+    re = jnp.asarray(np.real(x).copy())
+    im = jnp.asarray(np.imag(x).copy())
+    rr, ii = plan.execute(re, im)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]

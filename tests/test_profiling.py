@@ -15,7 +15,8 @@ def test_force_and_time():
     b = jnp.ones((64, 64))
     assert isinstance(force(fn(a, b)), float)
     dt = time_chained(fn, (a, b), k_small=1, k_large=3)
-    assert dt >= 0.0
+    # differencing can go slightly negative for near-zero-cost fns
+    assert -0.05 < dt < 5.0
 
 
 def test_effective_gflops():
