@@ -162,9 +162,10 @@ class Plan:
             bdims = re.ndim - ndim
             batch = math.prod(re.shape[:bdims]) if bdims else 1
             per_row = self._exec_plan.total_n * self._exec_plan.itemsize_plane
-            # the f64 recursion holds ~2x more live temporaries (measured:
-            # fudge 32 still left config 5 135 MiB over a 16 GiB chip)
-            fudge = 64 if self._exec_plan.itemsize_plane == 8 else 8
+            # the f64 recursion holds far more live temporaries than f32
+            # (measured on config 5: fudge 32 left a 16 GiB chip 135 MiB
+            # short at compile; fudge 64 still hit runtime OOM at batch 64)
+            fudge = 128 if self._exec_plan.itemsize_plane == 8 else 8
             budget = 4 << 30
             if batch <= 1 or batch * per_row * fudge <= budget:
                 return run_planar_once(re, im)
