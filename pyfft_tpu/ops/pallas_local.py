@@ -56,10 +56,11 @@ BASE = 128
 # Lanes per tile = batch rows processed per grid step.
 LANES = 128
 
-# Largest axis the local kernel owns: (n, 128) io planes at n=4096 are
-# 2 MiB each; in+out+temporaries fit VMEM.  Larger axes take the four-step
-# global path.
-MAX_LOCAL_N = 4096
+# Largest axis the local kernel owns: (n, 128) io planes at n=8192 are
+# 4 MiB each; in+out+temporaries still fit VMEM (measured: n=8192 compiles
+# and runs at 752 GF single-pass, beating the 3-pass four-step).  Larger
+# axes take the four-step global path.
+MAX_LOCAL_N = 8192
 
 _MIN_N = 8
 
