@@ -29,12 +29,16 @@ def force(tree):
 
 
 def bench(fn, args, k1=2, k2=10):
-    o = fn(*args)
+    def fresh():
+        # fn may donate its inputs; never hand it the master copies
+        return tuple(jnp.array(a, copy=True) for a in args)
+
+    o = fn(*fresh())
     force(o)
 
     def run(k):
         t0 = time.perf_counter()
-        o = args
+        o = fresh()
         for _ in range(k):
             o = fn(*o)
         force(o)

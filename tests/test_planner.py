@@ -1,0 +1,52 @@
+"""Planner IR unit tests — executor labeling under both backends
+(pure functions; no devices touched)."""
+
+import numpy as np
+import pytest
+
+from pyfft_tpu.planner import build_plan
+
+
+def kinds(plan):
+    # passes are stored innermost-axis first
+    return [p.executor for p in plan.passes]
+
+
+def test_cpu_all_xla():
+    p = build_plan((1024,), np.complex64, on_tpu=False)
+    assert kinds(p) == ["xla"]
+
+
+def test_tpu_local():
+    p = build_plan((4096,), np.complex64, on_tpu=True)
+    assert kinds(p) == ["local"]
+
+
+def test_tpu_fourstep():
+    p = build_plan((1 << 20,), np.complex64, on_tpu=True)
+    assert kinds(p) == ["fourstep"]
+    (ap,) = p.passes
+    n1, n2 = ap.split
+    assert n1 * n2 == 1 << 20
+
+
+def test_tpu_2d_both_local():
+    p = build_plan((1024, 1024), np.complex64, on_tpu=True)
+    assert kinds(p) == ["local", "local"]
+    assert [ap.axis for ap in p.passes] == [1, 0]
+
+
+def test_tpu_c128_xla():
+    """complex128 rides the XLA f64 path (no Pallas f64 kernels yet)."""
+    p = build_plan((4096,), np.complex128, on_tpu=True)
+    assert kinds(p) == ["xla"]
+
+
+def test_huge_axis_xla_fallback():
+    """Beyond MAX_LOCAL_N^2 falls back to the recursive XLA path."""
+    p = build_plan((1 << 27,), np.complex64, on_tpu=True)
+    assert kinds(p) == ["xla"]
+
+
+def test_total_n():
+    assert build_plan((16, 32), np.complex64, on_tpu=False).total_n == 512
