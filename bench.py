@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import json
 import math
+import os
+import signal
 import time
 
 import jax
@@ -29,12 +31,32 @@ N = 4096
 BATCH = 4096
 HBM_BW = 819e9  # v5e
 
+# Watchdog: this environment's shared compile service can wedge (a
+# pathological kernel once blocked the queue for an hour).  If the bench
+# can't finish in time, emit an honest zero-value line instead of hanging
+# the driver.
+TIMEOUT_S = int(os.environ.get("PYFFT_TPU_BENCH_TIMEOUT", "900"))
+
+
+def _watchdog(signum, frame):
+    print(json.dumps({
+        "metric": f"effective GFLOP/s, 1D c64 FFT N={N} batch={BATCH} (5N·log2N/t)",
+        "value": 0.0,
+        "unit": "GFLOP/s",
+        "vs_baseline": 0.0,
+        "extra": {"error": f"bench did not complete within {TIMEOUT_S}s "
+                           "(TPU compile service unresponsive)"},
+    }), flush=True)
+    os._exit(2)
+
 
 def _force(tree):
     return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0].ravel()[:1]))
 
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(TIMEOUT_S)
     from pyfft_tpu.plan import Plan
 
     plan = Plan((N,))

@@ -1,16 +1,17 @@
-"""Quick on-TPU micro-bench driver (device-side data generation, tiny
-fetches to force execution — the tunnel makes host transfers expensive)."""
+"""On-TPU micro-bench helpers (thin wrappers over pyfft_tpu.utils.profiling
+plus device-side data generation — host transfers through this environment's
+tunnel are too slow to include in timing)."""
 import math
+import os
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def force(tree):
-    return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0].ravel()[:1]))
+from pyfft_tpu.utils.profiling import effective_gflops, force, time_chained
 
 
 def devdata(shape, seed=0):
@@ -22,30 +23,17 @@ def devdata(shape, seed=0):
 
 
 def bench_fn(f, args, k1=4, k2=24, chain=True):
-    """Returns seconds/iter via k-chained differencing."""
-    o = f(*args)
-    force(o)
-
-    def run(k):
-        t0 = time.perf_counter()
-        o = args
-        for _ in range(k):
-            o = f(*o) if chain else f(*args)
-        force(o)
-        return time.perf_counter() - t0
-
-    run(1)
-    return (run(k2) - run(k1)) / (k2 - k1)
+    return time_chained(f, args, k_small=k1, k_large=k2)
 
 
 def gflops(shape, batch, dt):
-    n = math.prod(shape)
-    return 5 * n * math.log2(n) * batch / dt / 1e9
+    return effective_gflops(shape, batch, dt)
 
 
 def parity_1d(f, n, rows=130, seed=1):
     rng = np.random.RandomState(seed)
-    x = (rng.standard_normal((rows, n)) + 1j * rng.standard_normal((rows, n))).astype(np.complex64)
+    x = (rng.standard_normal((rows, n))
+         + 1j * rng.standard_normal((rows, n))).astype(np.complex64)
     rr, ii = f(jnp.asarray(x.real), jnp.asarray(x.imag))
     got = np.asarray(rr) + 1j * np.asarray(ii)
     ref = np.fft.fft(x.astype(np.complex128), axis=-1)
