@@ -42,10 +42,13 @@ __all__ = ["dist_fft_1d", "make_dist_fft"]
 def _local_fft(re, im, sign):
     """On-chip FFT along the last axis inside the shard_map body.
 
-    Uses the XLA planar path (works on every backend inside shard_map);
-    the Pallas local kernel slots in transparently on TPU once per-shard
-    shapes allow it.
+    The per-shard heavy factor goes through the same kernel stack as
+    single-chip plans: the fused Pallas local kernel when the shard shape
+    fits it (interpret mode off-TPU), the planar XLA path otherwise.
     """
+    from pyfft_tpu.ops import pallas_local
+    if pallas_local.supported(re, re.ndim - 1):
+        return pallas_local.fft_axis(re, im, sign, axis=-1)
     return fft_planar(re, im, sign, axis=-1)
 
 
@@ -125,8 +128,10 @@ def make_dist_fft(mesh: Mesh, n: int, *, batch_axis: str = "dp",
     spec = P(batch_axis, seq_axis)
     body = functools.partial(_dist_fft_body, sign=sign, n=n, s=s,
                              seq_axis=seq_axis, norm=norm)
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
+    # metadata, and every value here is trivially varying over both axes
     mapped = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
-                           out_specs=(spec, spec))
+                           out_specs=(spec, spec), check_vma=False)
     return jax.jit(mapped)
 
 
