@@ -1,37 +1,40 @@
 """Planar (split re/im) matmul-form FFT in pure ``jax.numpy``.
 
 This is the framework's L0 compute path (SURVEY.md §7 ``reference.py``):
-a slow-but-certain implementation that runs on every JAX backend (CPU, TPU)
-and every float dtype (f32, f64 under x64), used as
+a certain-by-construction implementation that runs on every JAX backend and
+float dtype (f32, f64 under x64), used as
 
-* the fallback for anything the Pallas kernels don't cover yet, and
-* the building block the planner composes for multi-pass (four-step) global
-  transforms whose working set exceeds VMEM.
+* the fallback for anything the Pallas kernels don't cover (notably the
+  complex128 path — this TPU stack executes real float64), and
+* the oracle the kernels are cross-checked against in tests.
 
-Design (TPU-first, not a translation of the reference):
+Design (TPU-first, not a translation):
 The reference (``pyfft/kernels.mako``, SURVEY.md §2.5) emits radix-2/4/8
-*register butterflies* — the right shape for a GPU SIMT core.  On TPU the
-FLOPs live in the 128x128 MXU, so each recursion level here is the
-**four-step decomposition** N = N1*N2:
+*register butterflies* — the right shape for a GPU SIMT core, the wrong one
+for a machine whose FLOPs live in a 128x128 systolic array.  Here a length-n
+transform along any axis is a **mixed-radix chain of einsum contractions**:
+with the axis reshaped to factors (f_1, ..., f_m), stage i contracts factor
+i against the f_i-point DFT matrix and moves the new spectral digit to the
+front of the factor block,
 
-    x[j1*N2 + j2]                        (reshape to (..., N1, N2))
-    1. length-N1 DFTs over j1            (MXU contraction)
-    2. twiddle multiply T[j2,k1]         (VPU, fuses into neighbors)
-    3. length-N2 DFTs over j2            (MXU contraction)
-    4. X[k2*N1 + k1] = result[k1,k2]     (transpose + flatten)
+    x[..., k_{i-1}, ..., k_1, j_i, rest...]
+      -> sum_j W_fi[k_i, j_i] * x[...]        (einsum, MXU)
+      -> * twiddle[k_i, rest]                 (broadcast, VPU)
 
-with the base case a direct DFT-matrix contraction.  Stockham-style
-contiguous reshapes mean there is **no bit-reversal permutation anywhere** —
-gathers are the one thing the TPU vector unit punishes.
+so after m stages the factor block reads (k_m, ..., k_1) — exactly the DFT
+output digit order: **no bit-reversal permutation and no explicit transpose
+ops anywhere** (XLA folds any layout changes into the contractions, which
+is measurably better than materializing ``swapaxes`` copies in HBM).
 
-Everything is planar: complex z is carried as (Re z, Im z) float arrays and a
-complex matmul is 4 real matmuls — MXU-native, and the only way to get f64
-(and later double-float) transforms on hardware without complex units.
+Everything is planar: complex z is carried as (Re z, Im z) float arrays and
+a complex contraction is 4 real einsums — MXU-native, and the only option
+on a backend with no complex types.
 """
 
 from __future__ import annotations
 
 import functools
+import string
 from typing import Literal
 
 import jax
@@ -39,15 +42,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyfft_tpu.ops.twiddle import dft_matrix, twiddle_table
-from pyfft_tpu.utils.radix import balanced_split, is_power_of_two
+from pyfft_tpu.utils.radix import is_power_of_two
 
 __all__ = ["fft_planar", "fftn_planar", "DEFAULT_BASE"]
 
-# Largest transform handled by a single DFT-matrix contraction.  128 matches
-# the MXU systolic width; recursion above keeps contraction dims <= this.
+# Largest DFT factor contracted in one einsum. 128 matches the MXU width.
 DEFAULT_BASE = 128
 
 Array = jax.Array
+
+
+def _factorize(n: int, base: int) -> tuple[int, ...]:
+    """Split n into balanced power-of-two factors, each <= base."""
+    if n <= base:
+        return (n,)
+    p = n.bit_length() - 1
+    pb = base.bit_length() - 1
+    m = -(-p // pb)
+    q, r = divmod(p, m)
+    return tuple(1 << (q + (1 if i < r else 0)) for i in range(m))
 
 
 @functools.lru_cache(maxsize=None)
@@ -57,55 +70,43 @@ def _consts(kind: str, *args) -> tuple[np.ndarray, np.ndarray]:
     return twiddle_table(*args)
 
 
-def _cmatmul(ar: Array, ai: Array, br: np.ndarray, bi: np.ndarray,
-             precision) -> tuple[Array, Array]:
-    """(ar + i*ai) @ (br + i*bi) as 4 real matmuls over the last axis."""
-    br = jnp.asarray(br)
-    bi = jnp.asarray(bi)
-    rr = jnp.matmul(ar, br, precision=precision)
-    ri = jnp.matmul(ar, bi, precision=precision)
-    ir = jnp.matmul(ai, br, precision=precision)
-    ii = jnp.matmul(ai, bi, precision=precision)
-    return rr - ii, ri + ir
+def _cmul_tables(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _fft_last(re: Array, im: Array, sign: int, base: int,
-              precision) -> tuple[Array, Array]:
-    """DFT along the last axis of planar (re, im); unnormalized."""
-    n = re.shape[-1]
-    if n == 1:
-        return re, im
+def _fft_factors(re: Array, im: Array, lead: int, factors: tuple[int, ...],
+                 trail: int, sign: int, precision) -> tuple[Array, Array]:
+    """DFT over the factor block of (lead..., f_1, ..., f_m, trail...).
+
+    ``lead``/``trail`` are the number of leading/trailing spectator dims.
+    """
     dt = np.dtype(re.dtype)
-    if n <= base:
-        wr, wi = _consts("dft", n, sign, dt.name)
-        return _cmatmul(re, im, wr, wi, precision)
-
-    n1, n2 = balanced_split(n)
-    lead = re.shape[:-1]
-    re = re.reshape(*lead, n1, n2)
-    im = im.reshape(*lead, n1, n2)
-
-    # Step 1: length-n1 DFTs over j1 (bring j1 to the contraction axis).
-    ar = jnp.swapaxes(re, -1, -2)          # (..., j2, j1)
-    ai = jnp.swapaxes(im, -1, -2)
-    br_, bi_ = _fft_last(ar, ai, sign, base, precision)   # (..., j2, k1)
-
-    # Step 2: twiddle T[j2, k1] = w_N^(j2*k1).
-    tr, ti = _consts("tw", n2, n1, n, sign, dt.name)
-    tr = jnp.asarray(tr)
-    ti = jnp.asarray(ti)
-    cr = br_ * tr - bi_ * ti
-    ci = br_ * ti + bi_ * tr
-
-    # Step 3: length-n2 DFTs over j2.
-    cr = jnp.swapaxes(cr, -1, -2)          # (..., k1, j2)
-    ci = jnp.swapaxes(ci, -1, -2)
-    dr, di = _fft_last(cr, ci, sign, base, precision)     # (..., k1, k2)
-
-    # Step 4: X[k2*n1 + k1] = D[k1, k2].
-    xr = jnp.swapaxes(dr, -1, -2).reshape(*lead, n)
-    xi = jnp.swapaxes(di, -1, -2).reshape(*lead, n)
-    return xr, xi
+    m = len(factors)
+    letters = string.ascii_lowercase
+    for i, f in enumerate(factors):
+        # axes: [lead] + [k_{i-1}..k_1] (i-1 of them) + [j_i] + rest + [trail]
+        ndim = re.ndim
+        pos = lead + i                       # position of the j_i axis
+        spec = letters[:ndim]
+        j = spec[pos]
+        rest = spec[:pos] + spec[pos + 1:]
+        out = spec[:lead] + "z" + spec[lead:pos] + spec[pos + 1:]
+        eq = f"z{j},{spec}->{out}"
+        wr, wi = _consts("dft", f, sign, dt.name)
+        wr = jnp.asarray(wr)
+        wi = jnp.asarray(wi)
+        es = functools.partial(jnp.einsum, eq, precision=precision)
+        re, im = (es(wr, re) - es(wi, im), es(wr, im) + es(wi, re))
+        if i < m - 1:
+            rest_n = 1
+            for g in factors[i + 1:]:
+                rest_n *= g
+            tr, ti = _consts("tw", f, rest_n, f * rest_n, sign, dt.name)
+            shape = (f,) + (1,) * i + tuple(factors[i + 1:]) + (1,) * trail
+            tr = jnp.asarray(tr).reshape(shape)
+            ti = jnp.asarray(ti).reshape(shape)
+            re, im = _cmul_tables(re, im, tr, ti)
+    return re, im
 
 
 def fft_planar(re: Array, im: Array, sign: Literal[-1, 1], axis: int = -1,
@@ -122,15 +123,19 @@ def fft_planar(re: Array, im: Array, sign: Literal[-1, 1], axis: int = -1,
         raise ValueError(f"transform length {n} is not a power of two")
     if re.shape != im.shape:
         raise ValueError("re/im shape mismatch")
+    if n == 1:
+        return re, im
     axis = axis % re.ndim
-    if axis != re.ndim - 1:
-        re = jnp.moveaxis(re, axis, -1)
-        im = jnp.moveaxis(im, axis, -1)
-    re, im = _fft_last(re, im, sign, base, precision)
-    if axis != re.ndim - 1:
-        re = jnp.moveaxis(re, -1, axis)
-        im = jnp.moveaxis(im, -1, axis)
-    return re, im
+    factors = _factorize(n, base)
+    lead_shape = re.shape[:axis]
+    trail_shape = re.shape[axis + 1:]
+    new_shape = lead_shape + factors + trail_shape
+    re = re.reshape(new_shape)
+    im = im.reshape(new_shape)
+    re, im = _fft_factors(re, im, len(lead_shape), factors, len(trail_shape),
+                          sign, precision)
+    out_shape = lead_shape + (n,) + trail_shape
+    return re.reshape(out_shape), im.reshape(out_shape)
 
 
 def fftn_planar(re: Array, im: Array, sign: Literal[-1, 1],
