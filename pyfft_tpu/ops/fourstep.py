@@ -19,7 +19,7 @@ N up to MAX_LOCAL_N^2 (= 16M points at 4096) is covered by one level.
 
 from __future__ import annotations
 
-import math
+
 
 import jax.numpy as jnp
 

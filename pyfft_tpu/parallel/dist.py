@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyfft_tpu.ops.twiddle import dft_matrix, twiddle_table
+from pyfft_tpu.ops.twiddle import dft_matrix
 from pyfft_tpu.reference import fft_planar
 from pyfft_tpu.utils.radix import is_power_of_two
 
