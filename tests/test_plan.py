@@ -189,3 +189,19 @@ def test_donate_plan():
     got = np.asarray(rr) + 1j * np.asarray(ii)
     ref = np.fft.fft(x.astype(np.complex128), axis=-1)
     assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_view_path_fused_1d(monkeypatch):
+    """TPU-style 1D interleaved: planner labels 'local', the fused
+    interleaved kernel runs (interpret mode on CPU)."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_complex_on_device_ok", lambda: False)
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((8, 1024), seed=24)
+    plan = Plan((1024,))
+    assert [p.executor for p in plan._exec_plan.passes] == ["local"]
+    out = plan.execute(x)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(out, ref) < TOL[np.complex64]
+    rt = plan.execute(out, inverse=True)
+    assert rel_err(rt, x) < TOL[np.complex64]
