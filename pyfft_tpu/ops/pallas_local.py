@@ -212,6 +212,20 @@ def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
 
 def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
               precision, stacked, lanes, interleaved):
+    # Trace the kernel with x64 semantics off regardless of caller config:
+    # under x64, Pallas index bookkeeping picks up 64-bit types that Mosaic
+    # cannot legalize ("failed to legalize operation 'func.return'"); the
+    # kernel itself is pure f32 either way.
+    with jax.enable_x64(False):
+        return _row_call_inner(inputs, rows, n, sign=sign,
+                               postscale=postscale, interpret=interpret,
+                               factors=factors, precision=precision,
+                               stacked=stacked, lanes=lanes,
+                               interleaved=interleaved)
+
+
+def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
+                    precision, stacked, lanes, interleaved):
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
     layout = tuple((k, len(v)) for k, v in tables.items())
@@ -345,6 +359,15 @@ def _fft_cols(re, im, *, n, sign, postscale, interpret,
     along the trailing axis — fusing the inter-pass twiddle of a length
     ``tw_n`` global transform into this pass for free.
     """
+    with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
+        return _fft_cols_inner(re, im, n=n, sign=sign, postscale=postscale,
+                               interpret=interpret, factors=factors,
+                               precision=precision, stacked=stacked,
+                               lanes=lanes, tw_n=tw_n)
+
+
+def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
+                    factors, precision, stacked, lanes, tw_n):
     L, _, T = re.shape
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
