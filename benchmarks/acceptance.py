@@ -28,13 +28,13 @@ def force(tree):
     return float(jnp.sum(leaves[0].ravel()[:1]))
 
 
-def bench(fn, args, k1=2, k2=10):
-    def fresh():
-        # fn may donate its inputs; never hand it the master copies
-        return tuple(jnp.array(a, copy=True) for a in args)
-
+def bench(fn, fresh, k1=2, k2=10):
+    """``fresh()`` builds device inputs on demand — no master copies are
+    held (fn may donate its inputs, and the biggest config's planes fill
+    half of HBM by themselves)."""
     o = fn(*fresh())
     force(o)
+    del o   # config 5's planes are 4 GiB a set: don't hold them across runs
 
     def run(k):
         t0 = time.perf_counter()
@@ -70,12 +70,14 @@ def run_config(name, shape, batch, dtype, iters=10):
     bshape = (batch,) if batch > 1 else ()
     fn = plan._get_callable(bshape, False, "planar")
     real_dt = jnp.float32 if dtype == np.complex64 else jnp.float64
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
     full = bshape + shape
-    re = jax.random.normal(k1, full, jnp.float32).astype(real_dt)
-    im = jax.random.normal(k2, full, jnp.float32).astype(real_dt)
-    dt = bench(fn, (re, im), k2=iters)
+
+    def fresh():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        return (jax.random.normal(k1, full, real_dt),
+                jax.random.normal(k2, full, real_dt))
+
+    dt = bench(fn, fresh, k2=iters)
     n = math.prod(shape)
     gf = 5 * n * math.log2(n) * batch / dt / 1e9
     err = parity(fn if batch > 1 else (lambda r, i: plan._get_callable(
@@ -107,10 +109,13 @@ def main():
         ]
     else:
         configs = [
-            ("1: 1D c64 N=1024 b=1", (1024,), 1, np.complex64),
-            ("2: 1D c64 N=4096 b=4096", (4096,), 4096, np.complex64),
-            ("3: 2D c64 1024^2 b=16", (1024, 1024), 16, np.complex64),
-            ("4: 3D c64 256^3", (256, 256, 256), 1, np.complex64),
+            # iters scaled so the timed chain dwarfs dispatch noise: the
+            # k-chain differencing needs k*t_iter >> per-call jitter, and
+            # config 1's kernel is microseconds.
+            ("1: 1D c64 N=1024 b=1", (1024,), 1, np.complex64, 400),
+            ("2: 1D c64 N=4096 b=4096", (4096,), 4096, np.complex64, 24),
+            ("3: 2D c64 1024^2 b=16", (1024, 1024), 16, np.complex64, 24),
+            ("4: 3D c64 256^3", (256, 256, 256), 1, np.complex64, 16),
             ("5: 1D c128 N=2^22 b=64", (1 << 22,), 64, np.complex128, 3),
         ]
 

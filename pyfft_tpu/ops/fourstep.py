@@ -9,12 +9,16 @@ passes, each a fused Pallas kernel or one XLA transpose:
 
   view (..., N) as (..., N1, N2), N1*N2 = N, both within the local kernel:
   1. column pass: N1-point FFTs over axis -2 with the inter-pass twiddle
-     w_N^(k1*j2) fused into the kernel's store (zero extra traffic)
-  2. row pass: N2-point FFTs over the last axis, postscale folded in
-  3. digit swap: (..., k1, k2) -> (..., k2, k1) — one XLA transpose, the
-     only pass that moves data without computing
+     w_N^(k1*j2) fused into the compute and the digit-swap transpose
+     absorbed into the store (``swap_store``): output lands as
+     (..., j2, k1) with one in-VMEM 2D transpose — no HBM transpose pass.
+  2. column pass: N2-point FFTs over axis -2 of the swapped layout
+     (transform already on sublanes: zero transposes), postscale folded
+     in; rows come out as (..., k2, k1) = the flattened DFT order.
 
-N up to MAX_LOCAL_N^2 (= 16M points at 4096) is covered by one level.
+Two HBM round trips total, both compute passes, zero XLA transposes —
+the GPU chain's k radix passes collapse to 2.  N up to MAX_LOCAL_N^2
+(= 64M points at 8192) is covered by one level.
 """
 
 from __future__ import annotations
@@ -30,21 +34,34 @@ __all__ = ["fft_axis_large", "choose_split", "supported"]
 
 
 def choose_split(n: int, max_local: int | None = None) -> tuple[int, int]:
-    """(n1, n2) with n1*n2 = n, both <= max_local, as balanced as possible.
+    """(n1, n2) with n1*n2 = n, both <= max_local, minimizing modeled cost.
 
-    Balanced factors keep both passes' tiles square-ish: the column pass
-    wants n1 rows per tile, the row pass n2 lanes — VMEM pressure is the
-    max of the two.
+    The split is chosen by the same MXU-occupancy model the local kernel's
+    factorization uses (``stage_cost``): e.g. 2^20 = 8192 * 128 (all
+    full-width stages) beats the balanced 1024 * 1024 (whose 32-point
+    stages run the MXU quarter-filled) by ~1.6x modeled compute.  Both
+    factors must give the column kernels at least one 128-lane trail tile.
     """
     max_local = max_local or pallas_local.MAX_LOCAL_N
+    lanes = pallas_local.LANES
     p = n.bit_length() - 1
-    p1 = (p + 1) // 2
-    n1, n2 = 1 << p1, 1 << (p - p1)
-    if n1 > max_local:
+    best = None
+    for p1 in range(1, p):
+        n1, n2 = 1 << p1, 1 << (p - p1)
+        if n1 > max_local or n2 > max_local:
+            continue
+        if n1 < lanes or n2 < lanes:
+            continue
+        cost = (sum(map(pallas_local.stage_cost, pallas_local.default_factors(n1)))
+                + sum(map(pallas_local.stage_cost, pallas_local.default_factors(n2))))
+        key = (cost, abs(p1 - (p - p1)))   # tie-break toward balanced (VMEM)
+        if best is None or key < best[0]:
+            best = (key, (n1, n2))
+    if best is None:
         raise ValueError(
             f"n={n} exceeds the single-level four-step range "
             f"(max {max_local}^2={max_local * max_local})")
-    return n1, n2
+    return best[1]
 
 
 def supported(re, axis: int, max_local: int | None = None) -> bool:
@@ -68,13 +85,12 @@ def fft_axis_large(re, im, sign, *, axis, postscale: float = 1.0,
     lead = re.shape[:-1]
     r3 = re.reshape(*lead, n1, n2)
     i3 = im.reshape(*lead, n1, n2)
-    # pass 1: column FFTs over j1 + fused twiddle w_n^(k1*j2)
+    # pass 1: column FFTs over j1 + fused twiddle w_n^(k1*j2), stored
+    # digit-swapped -> (..., j2, k1)
     r3, i3 = pallas_local.fft_axis(r3, i3, sign, axis=-2, tw_n=n,
-                                   interpret=interpret)
-    # pass 2: row FFTs over j2, scale folded into the store
-    r3, i3 = pallas_local.fft_axis(r3, i3, sign, axis=-1,
+                                   swap_store=True, interpret=interpret)
+    # pass 2: column FFTs over j2 (now on sublanes, trail = k1), scale
+    # folded into the store -> (..., k2, k1) = flattened DFT order
+    r3, i3 = pallas_local.fft_axis(r3, i3, sign, axis=-2,
                                    postscale=postscale, interpret=interpret)
-    # pass 3: X[k2*n1 + k1] = D[k1, k2] — digit swap
-    rr = jnp.swapaxes(r3, -1, -2).reshape(*lead, n)
-    ii = jnp.swapaxes(i3, -1, -2).reshape(*lead, n)
-    return rr, ii
+    return r3.reshape(*lead, n), i3.reshape(*lead, n)

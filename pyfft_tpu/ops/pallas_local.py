@@ -50,9 +50,6 @@ from pyfft_tpu.utils.radix import is_power_of_two
 
 __all__ = ["supported", "fft_axis", "tile_fft", "MAX_LOCAL_N", "LANES"]
 
-# Base case: largest DFT done as one matrix contraction (MXU width).
-BASE = 128
-
 # Lanes per tile = batch rows processed per grid step.
 LANES = 128
 
@@ -76,24 +73,53 @@ _PREC_MAP = {
 }
 
 
-def default_factors(n: int) -> tuple[int, ...]:
-    """Factorization of n into DFT-matrix stages, each <= BASE.
+# Largest single-stage DFT factor: the stacked (2f, 2f) table for f=256 is
+# 1 MiB of VMEM; f=512 would be 4 MiB and starts crowding out data tiles.
+MAX_FACTOR = 256
 
-    Balanced two-factor splits maximize MXU K-width per stage (measured
-    faster than many small-radix stages, whose contractions underfill the
-    128-wide systolic array).
+# Modeled VPU overhead per extra stage (twiddle multiply + the stacked
+# concatenate), in the same units as ``stage_cost``; discourages needless
+# deep chains when costs tie.
+_STAGE_PENALTY = 64
+
+
+def stage_cost(f: int) -> int:
+    """Modeled MXU cost per element of one f-point DFT-matrix stage.
+
+    A stacked complex stage is one dense (2f, 2f) real matmul: for 2f >= 128
+    every MXU tile is fully used, so cost ~ 4f madds/element.  Below that the
+    systolic array runs at (2f/128)^2 occupancy, so cost ~ 4f*(128/2f)^2 =
+    16384/f.  The minimum sits at f=64 (exactly one full 128x128 tile) —
+    this model is why e.g. a direct 256-point contraction beats (16, 16)
+    stages 2x despite doing 8x the useful FLOPs.
     """
-    if n <= BASE:
+    return 4 * f if f >= 64 else 16384 // f
+
+
+@functools.lru_cache(maxsize=None)
+def default_factors(n: int) -> tuple[int, ...]:
+    """Min-modeled-cost factorization of n into DFT-matrix stages.
+
+    Dynamic program over ``stage_cost`` + a per-stage VPU penalty.  Replaces
+    the reference's fixed radix-8/4/2 ladder (``getRadixArray``,
+    pyfft/kernel_helpers.py): on the MXU the tradeoff is array occupancy vs
+    madds, not register pressure, and the optimum (64s and 128s, remainders
+    absorbed into one wide or one narrow stage) looks nothing like the GPU
+    one.
+    """
+    if n <= _MIN_N:
         return (n,)
     p = n.bit_length() - 1
-    factors = []
-    pb = BASE.bit_length() - 1
-    nstage = -(-p // pb)          # how many stages are unavoidable
-    base = p // nstage
-    extra = p - base * nstage
-    for i in range(nstage):
-        factors.append(1 << (base + (1 if i < extra else 0)))
-    return tuple(factors)
+    maxk = MAX_FACTOR.bit_length() - 1
+    best: dict[int, tuple[int, tuple[int, ...]]] = {0: (0, ())}
+    for q in range(1, p + 1):
+        cands = []
+        for k in range(1, min(q, maxk) + 1):
+            sub = best[q - k]
+            cands.append((sub[0] + stage_cost(1 << k) + _STAGE_PENALTY,
+                          ((1 << k),) + sub[1]))
+        best[q] = min(cands)
+    return best[p][1]
 
 
 def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
@@ -260,9 +286,10 @@ def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
             # v5e has far more physical VMEM than the 16 MiB default scoped
             # limit; the n=4096 tile's working set needs ~24 MiB.
             vmem_limit_bytes=100 * 1024 * 1024,
-            # row tiles are independent: lets Mosaic overlap the block DMAs
-            # of step i+1 with step i's compute
-            dimension_semantics=("arbitrary",),
+            # row tiles are fully independent (disjoint output blocks):
+            # "parallel" lets Mosaic reorder and overlap block DMAs with
+            # compute (measured ~7% faster than "arbitrary" at n=4096)
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(*flat, *inputs)
@@ -314,7 +341,7 @@ def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
 
 
 def _col_kernel(n, layout, postscale, factors, precision, stacked,
-                has_tw, *refs):
+                has_tw, swap, *refs):
     nt = sum(arity for _, arity in layout)
     table_refs = refs[:nt]
     pos = nt
@@ -342,32 +369,45 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
         s = jnp.float32(postscale)
         xr = xr * s
         xi = xi * s
-    or_ref[0] = xr
-    oi_ref[0] = xi
+    if swap:
+        # digit-swapped store: the (n, lanes) spectral tile lands as
+        # (lanes, n) in an output whose last two axes are exchanged —
+        # this is how the four-step global path absorbs its transpose
+        # pass into the store of pass 1 (one 2D VPU transpose instead
+        # of a full HBM round trip).
+        or_ref[0] = xr.T
+        oi_ref[0] = xi.T
+    else:
+        or_ref[0] = xr
+        oi_ref[0] = xi
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes", "tw_n"))
+    "lanes", "tw_n", "swap_store"))
 def _fft_cols(re, im, *, n, sign, postscale, interpret,
               factors=None, precision=_PRECISION, stacked=True, lanes=LANES,
-              tw_n: int = 0):
+              tw_n: int = 0, swap_store: bool = False):
     """FFT over axis 1 of (L, n, T) planar arrays (column kernel).
 
     ``tw_n``: if nonzero, multiply the spectral output elementwise by the
     four-step twiddle T[k, j] = w_{tw_n}^(k*j) with j the global position
     along the trailing axis — fusing the inter-pass twiddle of a length
     ``tw_n`` global transform into this pass for free.
+
+    ``swap_store``: write the output with the last two axes exchanged —
+    result shape (L, T, n).  Used by the four-step global path to absorb
+    its digit-swap transpose into this pass's store.
     """
     with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
         return _fft_cols_inner(re, im, n=n, sign=sign, postscale=postscale,
                                interpret=interpret, factors=factors,
                                precision=precision, stacked=stacked,
-                               lanes=lanes, tw_n=tw_n)
+                               lanes=lanes, tw_n=tw_n, swap_store=swap_store)
 
 
 def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
-                    factors, precision, stacked, lanes, tw_n):
+                    factors, precision, stacked, lanes, tw_n, swap_store):
     L, _, T = re.shape
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
@@ -384,22 +424,28 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
                                       memory_space=pltpu.VMEM)] * 2
     dspec = pl.BlockSpec((1, n, lanes), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
+    if swap_store:
+        ospec = pl.BlockSpec((1, lanes, n), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((L, T, n), jnp.float32)
+    else:
+        ospec = dspec
+        oshape = jax.ShapeDtypeStruct((L, n, T), jnp.float32)
     kern = functools.partial(_col_kernel, n, layout, postscale, factors,
-                             precision, stacked, bool(tw_n))
+                             precision, stacked, bool(tw_n), swap_store)
     out_r, out_i = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=tspec + [dspec, dspec],
-        out_specs=(dspec, dspec),
-        out_shape=(jax.ShapeDtypeStruct((L, n, T), jnp.float32),
-                   jax.ShapeDtypeStruct((L, n, T), jnp.float32)),
+        out_specs=(ospec, ospec),
+        out_shape=(oshape, oshape),
         cost_estimate=pl.CostEstimate(
             flops=8 * n * sum(factors) * lanes * grid[0] * grid[1],
             bytes_accessed=L * n * T * 4 * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(*flat, *extra, re, im)
@@ -428,13 +474,17 @@ def supported(re, axis: int) -> bool:
 def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
              interpret: bool | None = None, factors=None,
              precision: str = _PRECISION, stacked: bool = True,
-             lanes: int = LANES, tw_n: int = 0):
+             lanes: int = LANES, tw_n: int = 0, swap_store: bool = False):
     """DFT along ``axis`` of planar f32 arrays.
 
     Last axis -> row kernel (in-VMEM transpose brackets); any other axis ->
     column kernel (transform already on sublanes: zero transposes).
     ``tw_n`` (column passes only): fuse the four-step inter-pass twiddle —
     see ``_fft_cols``.
+    ``swap_store`` (column passes only): the output comes back with the
+    transform axis moved to the *end*, i.e. shape
+    ``(*shape[:axis], *shape[axis+1:], n)`` — the digit-swap store of the
+    four-step path, done inside the kernel for free.
     """
     axis = axis % re.ndim
     n = re.shape[axis]
@@ -447,6 +497,7 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
     shape = re.shape
     if axis == re.ndim - 1:
         assert not tw_n, "fused twiddle is a column-pass feature"
+        assert not swap_store, "swap_store is a column-pass feature"
         lead = shape[:-1]
         rows = math.prod(lead) if lead else 1
         rr, ii = _fft_rows(re.reshape(rows, n), im.reshape(rows, n), **kw)
@@ -454,5 +505,9 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
     lead = math.prod(shape[:axis]) if axis else 1
     trail = math.prod(shape[axis + 1:])
     rr, ii = _fft_cols(re.reshape(lead, n, trail),
-                       im.reshape(lead, n, trail), tw_n=tw_n, **kw)
+                       im.reshape(lead, n, trail), tw_n=tw_n,
+                       swap_store=swap_store, **kw)
+    if swap_store:
+        oshape = shape[:axis] + shape[axis + 1:] + (n,)
+        return rr.reshape(oshape), ii.reshape(oshape)
     return rr.reshape(shape), ii.reshape(shape)

@@ -117,12 +117,12 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
         elif (pallas_ok and axis == ndim - 1
               and max_local_n < n <= max_local_n * max_local_n):
-            # Beyond one VMEM tile: three-pass four-step through HBM
-            # (column FFT + fused twiddle, row FFT, digit-swap transpose).
-            p = ilog2(n)
-            n1 = 1 << ((p + 1) // 2)
+            # Beyond one VMEM tile: two-pass four-step through HBM
+            # (column FFT + fused twiddle + digit-swapped store, then a
+            # second column FFT); split chosen by the MXU cost model.
+            from pyfft_tpu.ops.fourstep import choose_split
             passes.append(AxisPass(axis=axis, n=n, executor="fourstep",
-                                   split=(n1, n // n1)))
+                                   split=choose_split(n, max_local_n)))
         else:
             passes.append(AxisPass(axis=axis, n=n, executor="xla"))
     return ExecPlan(shape=shape, dtype=dtype, passes=tuple(passes),

@@ -15,9 +15,9 @@ def planar(x):
 
 
 @pytest.mark.parametrize("n,max_local", [
-    (4096, 256),     # 64 x 64 split, both far below the cap
+    (16384, 128),    # 128 x 128: the smallest two-column-pass split
     (65536, 256),    # 256 x 256: both factors AT the cap
-    (2048, 256),     # unbalanced 64 x 32
+    (32768, 256),    # unbalanced 256 x 128
 ])
 def test_fourstep_parity(n, max_local):
     x = rand_complex((4, n), seed=n % 1000)
@@ -30,20 +30,23 @@ def test_fourstep_parity(n, max_local):
 
 
 def test_fourstep_inverse_postscale():
-    n = 4096
+    n = 16384
     x = rand_complex((2, n), seed=9)
     re, im = planar(x)
-    fr, fi = fourstep.fft_axis_large(re, im, -1, axis=-1, max_local=256,
+    fr, fi = fourstep.fft_axis_large(re, im, -1, axis=-1, max_local=128,
                                      interpret=True)
-    br, bi = fourstep.fft_axis_large(fr, fi, +1, axis=-1, max_local=256,
+    br, bi = fourstep.fft_axis_large(fr, fi, +1, axis=-1, max_local=128,
                                      postscale=1.0 / n, interpret=True)
     got = np.asarray(br) + 1j * np.asarray(bi)
     assert rel_err(got, x) < TOL[np.complex64]
 
 
 def test_choose_split():
+    # ties in modeled cost break toward the balanced split
     assert fourstep.choose_split(1 << 22) == (2048, 2048)
-    assert fourstep.choose_split(1 << 13) == (128, 64) or \
-        fourstep.choose_split(1 << 13)[0] * fourstep.choose_split(1 << 13)[1] == 1 << 13
+    # 2^20 = 128*8192: all full-MXU-width stages beat the balanced split
+    assert sorted(fourstep.choose_split(1 << 20)) == [128, 8192]
+    n1, n2 = fourstep.choose_split(1 << 14)
+    assert (n1, n2) == (128, 128)
     with pytest.raises(ValueError):
         fourstep.choose_split(1 << 25, max_local=256)
