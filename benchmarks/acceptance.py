@@ -45,7 +45,12 @@ def bench(fn, fresh, k1=2, k2=10):
         return time.perf_counter() - t0
 
     run(1)
-    return (run(k2) - run(k1)) / (k2 - k1)
+    # min over trials, discarding negatives: the TPU tunnel has 2-4x
+    # congestion spikes and the differencing goes negative when one hits
+    # the short run (see bench.py)
+    diffs = [(run(k2) - run(k1)) / (k2 - k1) for _ in range(3)]
+    diffs = [d for d in diffs if d > 0] or diffs
+    return min(diffs)
 
 
 def parity(fn, shape, batch, dtype, check_rows=2, seed=1):

@@ -122,6 +122,13 @@ def default_factors(n: int) -> tuple[int, ...]:
     return best[p][1]
 
 
+# Factors executed as exact VPU butterflies (twiddle-free add/sub chains)
+# instead of DFT-matrix contractions: a 2- or 4-point "matmul" would run
+# the 128x128 systolic array at <0.1% occupancy, while the butterfly is a
+# handful of f32 adds per element on the VPU — and exact (no bf16 passes).
+VPU_RADICES = (2, 4)
+
+
 def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
                   stacked: bool = True) -> dict:
     """Ordered {key: (real, imag)} numpy tables for a length-n tile FFT.
@@ -129,18 +136,20 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
     With ``stacked`` the DFT matrices are stored in the 2x2 real-stacked
     form [[Wr, -Wi], [Wi, Wr]] so a complex contraction is one real matmul
     with doubled K — full MXU width even for 64-point factors.
+    VPU-butterfly factors need no DFT matrix, only inter-stage twiddles.
     """
     factors = tuple(factors or default_factors(n))
     assert math.prod(factors) == n
     m = len(factors)
     tables: dict = {}
     for i, f in enumerate(factors):
-        wr, wi = dft_matrix(f, sign, dtype)
-        if stacked:
-            ws = np.block([[wr, -wi], [wi, wr]])
-            tables.setdefault(("dfts", f), (ws,))
-        else:
-            tables.setdefault(("dft", f), (wr, wi))
+        if f not in VPU_RADICES:
+            wr, wi = dft_matrix(f, sign, dtype)
+            if stacked:
+                ws = np.block([[wr, -wi], [wi, wr]])
+                tables.setdefault(("dfts", f), (ws,))
+            else:
+                tables.setdefault(("dft", f), (wr, wi))
         if i < m - 1:
             rest = factors[i + 1:]
             r = math.prod(rest)
@@ -148,6 +157,34 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
             shape = (f,) + (1,) * i + rest + (1,)
             tables[("tw", i, factors)] = (tr.reshape(shape), ti.reshape(shape))
     return tables
+
+
+def _butterfly(f, xr, xi, axis, sign):
+    """f-point DFT over ``axis`` as exact VPU add/sub chains (f in 2, 4).
+
+    The output digit is prepended at axis 0 with ``axis`` consumed —
+    the same index convention as the dot_general stages, so butterfly and
+    matmul stages compose freely in one factor chain.
+    """
+    rs = [jax.lax.index_in_dim(xr, j, axis, keepdims=False) for j in range(f)]
+    ms = [jax.lax.index_in_dim(xi, j, axis, keepdims=False) for j in range(f)]
+    if f == 2:
+        yr = [rs[0] + rs[1], rs[0] - rs[1]]
+        yi = [ms[0] + ms[1], ms[0] - ms[1]]
+    elif f == 4:
+        ar, ai = rs[0] + rs[2], ms[0] + ms[2]
+        br, bi = rs[0] - rs[2], ms[0] - ms[2]
+        cr, ci = rs[1] + rs[3], ms[1] + ms[3]
+        dr, di = rs[1] - rs[3], ms[1] - ms[3]
+        if sign < 0:     # forward: y1 = b - i*d, y3 = b + i*d
+            yr = [ar + cr, br + di, ar - cr, br - di]
+            yi = [ai + ci, bi - dr, ai - ci, bi + dr]
+        else:
+            yr = [ar + cr, br - di, ar - cr, br + di]
+            yi = [ai + ci, bi + dr, ai - ci, bi - dr]
+    else:
+        raise ValueError(f"unsupported butterfly radix {f}")
+    return jnp.stack(yr, axis=0), jnp.stack(yi, axis=0)
 
 
 def _dg(w, x, axis, precision):
@@ -168,17 +205,20 @@ def _cdot(wr, wi, xr, xi, axis, precision):
 
 
 def tile_fft(re, im, tables: dict, n: int, factors=None,
-             precision=_PRECISION, stacked: bool = True):
+             precision=_PRECISION, stacked: bool = True, sign: int = -1):
     """Length-n DFT over axis 0 of an (n, lanes) planar tile.
 
     Mixed-radix from-the-left formulation: with x viewed as
     (f_1, ..., f_m, lanes), stage i contracts axis i against the f_i-point
-    DFT matrix.  ``dot_general`` prepends the new spectral digit, so after
-    all m stages the rows flatten to k_m*(n/f_m) + ... + k_1 — exactly the
-    DFT output order: no bit-reversal and no transposes anywhere.
+    DFT matrix (MXU) or applies a small-radix butterfly (VPU, exact).
+    Both prepend the new spectral digit, so after all m stages the rows
+    flatten to k_m*(n/f_m) + ... + k_1 — exactly the DFT output order: no
+    bit-reversal and no transposes anywhere.
 
     Pure jnp function — identical under Pallas compilation, interpret mode,
     or plain tracing (how tests pin the math without TPU hardware).
+    ``sign`` only matters for butterfly factors; matmul stages carry the
+    direction in their tables.
     """
     lanes = re.shape[-1]
     assert re.shape == (n, lanes), (re.shape, n)
@@ -187,7 +227,9 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
     xr = re.reshape(*factors, lanes)
     xi = im.reshape(*factors, lanes)
     for i, f in enumerate(factors):
-        if stacked:
+        if f in VPU_RADICES:
+            xr, xi = _butterfly(f, xr, xi, i, sign)
+        elif stacked:
             xs = jnp.concatenate([xr, xi], axis=i)
             (ws,) = tables[("dfts", f)]
             y = _dg(ws, xs, i, precision)     # (2*k_i, k_prev..., rest, lanes)
@@ -202,7 +244,7 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
 
 
 def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
-            *refs):
+            sign, *refs):
     nt = sum(arity for _, arity in layout)
     table_refs = refs[:nt]
     tables = {}
@@ -223,7 +265,7 @@ def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
         re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
         xr = re_ref[:].T
         xi = im_ref[:].T
-    xr, xi = tile_fft(xr, xi, tables, n, factors, precision, stacked)
+    xr, xi = tile_fft(xr, xi, tables, n, factors, precision, stacked, sign)
     if postscale != 1.0:
         s = jnp.float32(postscale)
         xr = xr * s
@@ -263,7 +305,7 @@ def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
     dspec = pl.BlockSpec((lanes, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, n, layout, postscale, factors,
-                             precision, stacked, interleaved)
+                             precision, stacked, interleaved, sign)
     if interleaved:
         out_shape = jax.ShapeDtypeStruct((rows, width), jnp.float32)
         out_specs = dspec
@@ -341,7 +383,7 @@ def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
 
 
 def _col_kernel(n, layout, postscale, factors, precision, stacked,
-                has_tw, swap, *refs):
+                has_tw, swap, sign, *refs):
     nt = sum(arity for _, arity in layout)
     table_refs = refs[:nt]
     pos = nt
@@ -358,7 +400,7 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
     # (1, n, lanes) block: the transform axis already sits on sublanes —
     # no transposes at all (the advantage of column passes on TPU).
     xr, xi = tile_fft(re_ref[0], im_ref[0], tables, n, factors, precision,
-                      stacked)
+                      stacked, sign)
     if has_tw:
         # fused inter-pass twiddle of the four-step global path:
         # T[k, j2] with j2 = this tile's lane slice
@@ -432,7 +474,7 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
         ospec = dspec
         oshape = jax.ShapeDtypeStruct((L, n, T), jnp.float32)
     kern = functools.partial(_col_kernel, n, layout, postscale, factors,
-                             precision, stacked, bool(tw_n), swap_store)
+                             precision, stacked, bool(tw_n), swap_store, sign)
     out_r, out_i = pl.pallas_call(
         kern,
         grid=grid,
@@ -450,6 +492,122 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
         interpret=interpret,
     )(*flat, *extra, re, im)
     return out_r, out_i
+
+
+# Largest ny*nx element count for the fused 2D kernel: 2^20 (a 1024x1024
+# tile is 4 MiB per f32 plane; in+out+scratch stays within the VMEM cap).
+MAX_FUSED2D_ELEMS = 1 << 20
+
+
+def _fused2d_kernel(ny, nx, layout, postscale, fy, fx, precision, stacked,
+                    sign, *refs):
+    nt = sum(arity for _, arity in layout)
+    tables = {}
+    pos = 0
+    for k, arity in layout:
+        tables[k] = tuple(refs[pos + j][:] for j in range(arity))
+        pos += arity
+    re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
+    # y-axis FFT: transform already on sublanes, x as lanes — no transpose
+    xr, xi = tile_fft(re_ref[0], im_ref[0], tables, ny, fy, precision,
+                      stacked, sign)
+    # x-axis FFT: one in-VMEM transpose each way
+    xr, xi = xr.T, xi.T
+    xr, xi = tile_fft(xr, xi, tables, nx, fx, precision, stacked, sign)
+    if postscale != 1.0:
+        s = jnp.float32(postscale)
+        xr = xr * s
+        xi = xi * s
+    or_ref[0] = xr.T
+    oi_ref[0] = xi.T
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ny", "nx", "sign", "postscale", "interpret", "factors_y", "factors_x",
+    "precision", "stacked"))
+def _fft2_fused(re, im, *, ny, nx, sign, postscale, interpret,
+                factors_y=None, factors_x=None, precision=_PRECISION,
+                stacked=True):
+    with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
+        return _fft2_fused_inner(re, im, ny=ny, nx=nx, sign=sign,
+                                 postscale=postscale, interpret=interpret,
+                                 factors_y=factors_y, factors_x=factors_x,
+                                 precision=precision, stacked=stacked)
+
+
+def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
+                      factors_y, factors_x, precision, stacked):
+    L = re.shape[0]
+    fy = tuple(factors_y or default_factors(ny))
+    fx = tuple(factors_x or default_factors(nx))
+    tables = needed_tables(ny, sign, factors=fy, stacked=stacked)
+    tables.update(needed_tables(nx, sign, factors=fx, stacked=stacked))
+    layout = tuple((k, len(v)) for k, v in tables.items())
+    flat = [jnp.asarray(a) for v in tables.values() for a in v]
+    grid = (L,)
+    tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
+                          memory_space=pltpu.VMEM) for a in flat]
+    dspec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_fused2d_kernel, ny, nx, layout, postscale,
+                             fy, fx, precision, stacked, sign)
+    oshape = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=tspec + [dspec, dspec],
+        out_specs=(dspec, dspec),
+        out_shape=(oshape, oshape),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ny * nx * (sum(fy) + sum(fx)) * L,
+            bytes_accessed=L * ny * nx * 4 * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(*flat, re, im)
+
+
+def supported_2d(re, im=None) -> bool:
+    """Whether the fused 2D kernel covers the last two axes of this array."""
+    if re.dtype != jnp.float32 or re.ndim < 2:
+        return False
+    ny, nx = re.shape[-2], re.shape[-1]
+    if not (is_power_of_two(ny) and is_power_of_two(nx)):
+        return False
+    # both tile dims sit on the minor axis at some point (x on load/store,
+    # y after the in-kernel transpose): keep them lane-aligned
+    if nx % 128 or ny % 128:
+        return False
+    return ny * nx <= MAX_FUSED2D_ELEMS
+
+
+def fft2_fused(re, im, sign, *, postscale: float = 1.0,
+               interpret: bool | None = None, factors_y=None, factors_x=None,
+               precision: str = _PRECISION, stacked: bool = True):
+    """2D DFT over the last two axes of planar f32 arrays, one HBM pass.
+
+    TPU-native fusion of the reference's separate row/column kernel passes
+    (SURVEY.md §3.1: per-axis kernel chain): when the whole (ny, nx) tile
+    fits VMEM, the y-axis stages, the in-tile transpose, and the x-axis
+    stages all happen in registers/VMEM — the data crosses HBM exactly once
+    instead of twice.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    shape = re.shape
+    ny, nx = shape[-2], shape[-1]
+    lead = shape[:-2]
+    L = math.prod(lead) if lead else 1
+    rr, ii = _fft2_fused(re.reshape(L, ny, nx), im.reshape(L, ny, nx),
+                         ny=ny, nx=nx, sign=sign, postscale=float(postscale),
+                         interpret=bool(interpret),
+                         factors_y=tuple(factors_y) if factors_y else None,
+                         factors_x=tuple(factors_x) if factors_x else None,
+                         precision=precision, stacked=stacked)
+    return rr.reshape(shape), ii.reshape(shape)
 
 
 def _interpret_default() -> bool:

@@ -113,6 +113,16 @@ class Plan:
         a separate multiply would cost an extra HBM round trip).
         """
         axis = re.ndim - ndim + p.axis
+        if p.executor == "fused2d" and not self._force_xla:
+            from pyfft_tpu.ops import pallas_local
+            if pallas_local.supported_2d(re):
+                rr, ii = pallas_local.fft2_fused(re, im, sign,
+                                                 postscale=postscale)
+                return rr, ii, True
+            # fallback: two XLA passes over the covered axes
+            rr, ii = fft_planar(re, im, sign, axis=re.ndim - 1)
+            rr, ii = fft_planar(rr, ii, sign, axis=re.ndim - 2)
+            return rr, ii, False
         if p.executor == "local" and not self._force_xla:
             from pyfft_tpu.ops import pallas_local
             if pallas_local.supported(re, axis):
@@ -139,7 +149,42 @@ class Plan:
             norm /= self._exec_plan.total_n
         norm *= self.scale
 
+        def run_df64(re, im):
+            """All passes through the double-float Pallas kernels, staying
+            in (hi, lo) f32 quad form between passes; None if any pass
+            isn't covered (caller falls back to the XLA f64 path)."""
+            from pyfft_tpu.ops import pallas_df64
+            from pyfft_tpu.ops.df64 import split_f64
+            passes = self._exec_plan.passes
+            probe = jax.ShapeDtypeStruct(re.shape, jnp.float32)
+            for p in passes:
+                if p.executor not in ("local", "fourstep"):
+                    return None
+                axis = re.ndim - ndim + p.axis
+                if not pallas_df64.supported(probe, axis):
+                    return None
+            rh, rl = split_f64(re)
+            ih, il = split_f64(im)
+            planes = (rh, rl, ih, il)
+            for idx, p in enumerate(passes):
+                post = norm if idx == len(passes) - 1 else 1.0
+                axis = re.ndim - ndim + p.axis
+                if p.executor == "fourstep":
+                    planes = pallas_df64.fft_axis_large_df64(
+                        planes, sign, axis=axis, postscale=post)
+                else:
+                    planes = pallas_df64.fft_axis_df64(
+                        planes, sign, axis=axis, postscale=post)
+            rh, rl, ih, il = planes
+            return (rh.astype(jnp.float64) + rl.astype(jnp.float64),
+                    ih.astype(jnp.float64) + il.astype(jnp.float64))
+
         def run_planar_once(re, im):
+            if (re.dtype == jnp.float64 and not self._force_xla
+                    and _on_tpu()):
+                out = run_df64(re, im)
+                if out is not None:
+                    return out
             scale_left = norm
             passes = self._exec_plan.passes
             for idx, p in enumerate(passes):

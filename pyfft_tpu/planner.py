@@ -38,7 +38,7 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 # f32.  Below this the XLA path wins on launch overhead alone.
 _MIN_BATCH_TILE = 8
 
-Executor = Literal["xla", "local", "fourstep"]
+Executor = Literal["xla", "local", "fourstep", "fused2d"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,20 +102,39 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
         raise ValueError(f"dtype must be complex64 or complex128, got {dtype}")
     itemsize = 4 if dtype == np.dtype(np.complex64) else 8
 
-    # Pallas kernels currently cover the complex64 path on TPU; complex128
-    # rides the XLA planar path (f64 via x64, or the double-float path).
+    # complex64 rides the MXU Pallas kernels; complex128 rides the
+    # double-float (two-f32) VPU Pallas kernels (ops/pallas_df64.py) with
+    # the XLA f64 path as the residual fallback.
     pallas_ok = on_tpu and itemsize == 4
+    pallas_df64_ok = on_tpu and itemsize == 8
 
     if max_local_n is None:
-        from pyfft_tpu.ops.pallas_local import MAX_LOCAL_N as max_local_n
+        if pallas_df64_ok:
+            from pyfft_tpu.ops.pallas_df64 import (
+                MAX_LOCAL_N_DF64 as max_local_n)
+        else:
+            from pyfft_tpu.ops.pallas_local import MAX_LOCAL_N as max_local_n
 
     passes = []
     ndim = len(shape)
-    for axis in reversed(range(ndim)):
+    axes = list(reversed(range(ndim)))
+    if pallas_ok and ndim >= 2:
+        # Fused 2D: the last two axes in ONE kernel / one HBM round trip
+        # when the whole (ny, nx) tile fits VMEM (the TPU-native collapse
+        # of the reference's separate row+column kernel passes).
+        from pyfft_tpu.ops.pallas_local import MAX_FUSED2D_ELEMS
+        ny, nx = shape[-2], shape[-1]
+        if (ny % 128 == 0 and nx % 128 == 0
+                and ny * nx <= MAX_FUSED2D_ELEMS):
+            passes.append(AxisPass(axis=ndim - 2, n=ny * nx,
+                                   executor="fused2d", split=(ny, nx)))
+            axes = axes[2:]
+    kernels_ok = pallas_ok or pallas_df64_ok
+    for axis in axes:
         n = shape[axis]
-        if pallas_ok and _local_fits(n, itemsize) and n <= max_local_n:
+        if kernels_ok and _local_fits(n, itemsize) and n <= max_local_n:
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
-        elif (pallas_ok and axis == ndim - 1
+        elif (kernels_ok and axis == ndim - 1
               and max_local_n < n <= max_local_n * max_local_n):
             # Beyond one VMEM tile: two-pass four-step through HBM
             # (column FFT + fused twiddle + digit-swapped store, then a

@@ -1,0 +1,118 @@
+"""Double-float (two-f32) arithmetic and the df64 Pallas FFT path.
+
+The complex128 parity gate is ~1e-11 (BASELINE); df64 unit roundoff is
+~2^-48, so the kernels should land near 1e-13 on these sizes.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyfft_tpu.ops import df64
+from pyfft_tpu.ops import pallas_df64
+
+
+def _rand(shape, seed=0, scale=1.0):
+    rng = np.random.RandomState(seed)
+    return (rng.standard_normal(shape) * scale).astype(np.float64)
+
+
+def test_split_combine_roundtrip():
+    x = _rand((64,), 1) * 1e3
+    hi, lo = df64.split_f64(x)
+    back = df64.combine_f64(hi, lo)
+    assert np.abs(back - x).max() / np.abs(x).max() < 2 ** -46
+
+
+@pytest.mark.parametrize("op,ref", [
+    ("df_add", np.add),
+    ("df_mul", np.multiply),
+])
+def test_df_arith(op, ref):
+    a = _rand((512,), 2)
+    b = _rand((512,), 3)
+    ah, al = df64.split_f64(a)
+    bh, bl = df64.split_f64(b)
+    rh, rl = getattr(df64, op)(jnp.asarray(ah), jnp.asarray(al),
+                               jnp.asarray(bh), jnp.asarray(bl))
+    got = df64.combine_f64(np.asarray(rh), np.asarray(rl))
+    want = ref(a, b)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2 ** -45
+
+
+def test_df_cmul():
+    a = _rand((256,), 4) + 1j * _rand((256,), 5)
+    b = _rand((256,), 6) + 1j * _rand((256,), 7)
+    quads = []
+    for z in (a, b):
+        for plane in (z.real, z.imag):
+            hi, lo = df64.split_f64(plane)
+            quads += [jnp.asarray(hi), jnp.asarray(lo)]
+    rh, rl, ih, il = df64.df_cmul(*quads)
+    got = (df64.combine_f64(np.asarray(rh), np.asarray(rl))
+           + 1j * df64.combine_f64(np.asarray(ih), np.asarray(il)))
+    want = a * b
+    assert np.abs(got - want).max() / np.abs(want).max() < 2 ** -44
+
+
+def _quad(x):
+    out = []
+    for plane in (x.real, x.imag):
+        hi, lo = df64.split_f64(plane)
+        out += [jnp.asarray(hi), jnp.asarray(lo)]
+    return tuple(out)
+
+
+def _unquad(planes):
+    rh, rl, ih, il = (np.asarray(p) for p in planes)
+    return df64.combine_f64(rh, rl) + 1j * df64.combine_f64(ih, il)
+
+
+@pytest.mark.parametrize("n", [8, 64, 256, 1024])
+def test_df64_fft_rows_parity(n):
+    x = _rand((16, n), n) + 1j * _rand((16, n), n + 1)
+    out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1, interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+@pytest.mark.parametrize("n", [16, 256])
+def test_df64_fft_cols_parity(n):
+    x = _rand((2, n, 128), n) + 1j * _rand((2, n, 128), n + 3)
+    out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=1, interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_df64_inverse_roundtrip():
+    n = 512
+    x = _rand((4, n), 11) + 1j * _rand((4, n), 12)
+    fwd = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1, interpret=True)
+    back = pallas_df64.fft_axis_df64(fwd, +1, axis=-1, postscale=1.0 / n,
+                                     interpret=True)
+    got = _unquad(back)
+    assert np.abs(got - x).max() / np.abs(x).max() < 1e-12
+
+
+def test_df64_fourstep_parity():
+    n = 1 << 16
+    x = _rand((2, n), 13) + 1j * _rand((2, n), 14)
+    out = pallas_df64.fft_axis_large_df64(_quad(x), -1, axis=-1,
+                                          max_local=256, interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_df64_nonpow2_scale():
+    """Arbitrary user scale goes through the general df64 path."""
+    n = 64
+    x = _rand((4, n), 15) + 1j * _rand((4, n), 16)
+    out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1, postscale=0.3,
+                                    interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1) * 0.3
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12

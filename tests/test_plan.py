@@ -205,3 +205,65 @@ def test_view_path_fused_1d(monkeypatch):
     assert rel_err(out, ref) < TOL[np.complex64]
     rt = plan.execute(out, inverse=True)
     assert rel_err(rt, x) < TOL[np.complex64]
+
+
+def test_df64_plan_1d(monkeypatch):
+    """complex128 plan routed through the double-float Pallas kernels
+    (interpret mode on CPU), parity at the c128 gate."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((4, 2048), seed=31, dtype=np.complex128)
+    plan = Plan((2048,), np.complex128)
+    assert [p.executor for p in plan._exec_plan.passes] == ["local"]
+    rr, ii = plan.execute(np.real(x), np.imag(x))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x, axis=-1)
+    assert rel_err(got, ref) < 1e-12
+    br, bi = plan.execute(rr, ii, inverse=True)
+    rt = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(rt, x) < 1e-12
+
+
+def test_df64_plan_large_1d(monkeypatch):
+    """complex128 four-step (n beyond the df64 local kernel)."""
+    import pyfft_tpu.plan as planmod
+    import pyfft_tpu.ops.pallas_df64 as dfk
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(dfk, "MAX_LOCAL_N_DF64", 256)
+    n = 1 << 16
+    x = rand_complex((2, n), seed=32, dtype=np.complex128)
+    plan = Plan((n,), np.complex128)
+    assert [p.executor for p in plan._exec_plan.passes] == ["fourstep"]
+    rr, ii = plan.execute(np.real(x), np.imag(x))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x, axis=-1)
+    assert rel_err(got, ref) < 1e-12
+
+
+def test_df64_plan_2d(monkeypatch):
+    """complex128 2D: two df64 column/row passes."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((256, 256), seed=33, dtype=np.complex128)
+    plan = Plan((256, 256), np.complex128)
+    rr, ii = plan.execute(np.real(x), np.imag(x))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x)
+    assert rel_err(got, ref) < 1e-12
+
+
+def test_fused2d_plan(monkeypatch):
+    """2D c64 plan collapses to one fused kernel pass (interpret mode)."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((2, 256, 128), seed=34)
+    plan = Plan((256, 128))
+    assert [p.executor for p in plan._exec_plan.passes] == ["fused2d"]
+    rr, ii = plan.execute(np.real(x).astype(np.float32),
+                          np.imag(x).astype(np.float32))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x.astype(np.complex128), axes=(1, 2))
+    assert rel_err(got, ref) < TOL[np.complex64]
+    br, bi = plan.execute(rr, ii, inverse=True)
+    rt = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(rt, x) < TOL[np.complex64]

@@ -30,16 +30,34 @@ def test_tpu_fourstep():
     assert n1 * n2 == 1 << 20
 
 
-def test_tpu_2d_both_local():
+def test_tpu_2d_fused():
+    """A VMEM-sized 2D transform collapses to ONE fused kernel pass."""
     p = build_plan((1024, 1024), np.complex64, on_tpu=True)
+    assert kinds(p) == ["fused2d"]
+    (ap,) = p.passes
+    assert ap.split == (1024, 1024)
+
+
+def test_tpu_2d_too_big_for_fusion():
+    """Beyond the fused tile budget: separate per-axis local passes."""
+    p = build_plan((4096, 4096), np.complex64, on_tpu=True)
     assert kinds(p) == ["local", "local"]
     assert [ap.axis for ap in p.passes] == [1, 0]
 
 
-def test_tpu_c128_xla():
-    """complex128 rides the XLA f64 path (no Pallas f64 kernels yet)."""
+def test_tpu_3d_fused_tail():
+    """3D = fused (y,x) kernel + one column pass over z."""
+    p = build_plan((256, 256, 256), np.complex64, on_tpu=True)
+    assert kinds(p) == ["fused2d", "local"]
+    assert [ap.axis for ap in p.passes] == [1, 0]
+
+
+def test_tpu_c128_df64():
+    """complex128 rides the double-float Pallas kernels on TPU."""
     p = build_plan((4096,), np.complex128, on_tpu=True)
-    assert kinds(p) == ["xla"]
+    assert kinds(p) == ["local"]
+    p = build_plan((1 << 22,), np.complex128, on_tpu=True)
+    assert kinds(p) == ["fourstep"]
 
 
 def test_huge_axis_xla_fallback():
