@@ -494,9 +494,12 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
     return out_r, out_i
 
 
-# Largest ny*nx element count for the fused 2D kernel: 2^20 (a 1024x1024
-# tile is 4 MiB per f32 plane; in+out+scratch stays within the VMEM cap).
-MAX_FUSED2D_ELEMS = 1 << 20
+# Largest ny*nx element count for the fused 2D kernel.  2^18 (= 512x512,
+# 1 MiB per f32 plane) is the measured compile-safety limit: a 1024x1024
+# fused tile sends the Mosaic compile into a >6-minute (likely unbounded)
+# search and wedges this environment's shared compile service.  512x512
+# measured 1924 GF effective, 256x256 1201 GF.
+MAX_FUSED2D_ELEMS = 1 << 18
 
 
 def _fused2d_kernel(ny, nx, layout, postscale, fy, fx, precision, stacked,

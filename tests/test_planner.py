@@ -32,15 +32,16 @@ def test_tpu_fourstep():
 
 def test_tpu_2d_fused():
     """A VMEM-sized 2D transform collapses to ONE fused kernel pass."""
-    p = build_plan((1024, 1024), np.complex64, on_tpu=True)
+    p = build_plan((512, 512), np.complex64, on_tpu=True)
     assert kinds(p) == ["fused2d"]
     (ap,) = p.passes
-    assert ap.split == (1024, 1024)
+    assert ap.split == (512, 512)
 
 
 def test_tpu_2d_too_big_for_fusion():
-    """Beyond the fused tile budget: separate per-axis local passes."""
-    p = build_plan((4096, 4096), np.complex64, on_tpu=True)
+    """Beyond the fused tile budget (compile-safety limit): separate
+    per-axis local passes."""
+    p = build_plan((1024, 1024), np.complex64, on_tpu=True)
     assert kinds(p) == ["local", "local"]
     assert [ap.axis for ap in p.passes] == [1, 0]
 
