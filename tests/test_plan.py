@@ -267,3 +267,19 @@ def test_fused2d_plan(monkeypatch):
     br, bi = plan.execute(rr, ii, inverse=True)
     rt = np.asarray(br) + 1j * np.asarray(bi)
     assert rel_err(rt, x) < TOL[np.complex64]
+
+
+def test_df64_view_path(monkeypatch):
+    """complex128 interleaved (complex-in/complex-out) on a TPU-style
+    backend: host bitcast view -> planar df64 quad compute."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_complex_on_device_ok", lambda: False)
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((3, 512), seed=41, dtype=np.complex128)
+    plan = Plan((512,), np.complex128)
+    out = plan.execute(x)
+    assert isinstance(out, np.ndarray) and out.dtype == np.complex128
+    ref = np.fft.fft(x, axis=-1)
+    assert rel_err(out, ref) < 1e-12
+    rt = plan.execute(out, inverse=True)
+    assert rel_err(rt, x) < 1e-12
