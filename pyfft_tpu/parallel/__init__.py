@@ -1,3 +1,3 @@
-from pyfft_tpu.parallel.dist import dist_fft_1d, make_dist_fft
+from pyfft_tpu.parallel.dist import dist_fft_1d, make_dist_fft, make_dist_fft2
 
-__all__ = ["dist_fft_1d", "make_dist_fft"]
+__all__ = ["dist_fft_1d", "make_dist_fft", "make_dist_fft2"]

@@ -36,7 +36,7 @@ from pyfft_tpu.ops.twiddle import dft_matrix
 from pyfft_tpu.reference import fft_planar
 from pyfft_tpu.utils.radix import is_power_of_two
 
-__all__ = ["dist_fft_1d", "make_dist_fft"]
+__all__ = ["dist_fft_1d", "make_dist_fft", "make_dist_fft2"]
 
 
 def _local_fft(re, im, sign):
@@ -130,6 +130,63 @@ def make_dist_fft(mesh: Mesh, n: int, *, batch_axis: str = "dp",
                              seq_axis=seq_axis, norm=norm)
     # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
     # metadata, and every value here is trivially varying over both axes
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=(spec, spec), check_vma=False)
+    return jax.jit(mapped)
+
+
+def _dist_fft2_body(re, im, *, sign: int, seq_axis: str, norm: float):
+    """shard_map body for 2D: local blocks (..., ny/S, nx).
+
+    1. FFT over nx (fully local rows)
+    2. all_to_all: nx becomes sharded, ny becomes local (the ICI transpose)
+    3. FFT over ny (now a fully local column pass)
+    4. all_to_all back to the input layout
+    """
+    def a2a(x, split, concat):
+        return jax.lax.all_to_all(x, seq_axis, split_axis=split % x.ndim,
+                                  concat_axis=concat % x.ndim, tiled=True)
+
+    from pyfft_tpu.ops import pallas_local
+
+    def local_axis_fft(r, i, axis, post=1.0):
+        if pallas_local.supported(r, axis):
+            return pallas_local.fft_axis(r, i, sign, axis=axis, postscale=post)
+        rr, ii = fft_planar(r, i, sign, axis=axis)
+        if post != 1.0:
+            c = rr.dtype.type(post)
+            rr, ii = rr * c, ii * c
+        return rr, ii
+
+    re, im = local_axis_fft(re, im, re.ndim - 1)          # rows (nx local)
+    re, im = a2a(re, -1, -2), a2a(im, -1, -2)             # (..., ny, nx/S)
+    re, im = local_axis_fft(re, im, re.ndim - 2, norm)    # columns (ny local)
+    re, im = a2a(re, -2, -1), a2a(im, -2, -1)             # (..., ny/S, nx)
+    return re, im
+
+
+def make_dist_fft2(mesh: Mesh, shape: tuple[int, int], *,
+                   batch_axis: str = "dp", seq_axis: str = "sp",
+                   sign: int = -1, normalize: bool = False):
+    """Build a jitted distributed 2D FFT over ``mesh``.
+
+    Input/output: planar (re, im) arrays of shape (B, ny, nx), batch sharded
+    over ``batch_axis`` and the ny axis sharded over ``seq_axis``.  The
+    row pass runs fully local, the inter-axis transpose is one
+    ``all_to_all`` over ICI each way, and the column pass runs local —
+    the multi-chip analog of the single-chip 2D pass chain.
+    """
+    ny, nx = shape
+    if not (is_power_of_two(ny) and is_power_of_two(nx)):
+        raise ValueError(f"shape {shape} must be powers of two")
+    s = mesh.shape[seq_axis]
+    if ny % s or nx % s:
+        raise ValueError(f"both axes of {shape} must be divisible by "
+                         f"seq parallelism {s}")
+    norm = (1.0 / (ny * nx)) if (normalize and sign > 0) else 1.0
+    spec = P(batch_axis, seq_axis, None)
+    body = functools.partial(_dist_fft2_body, sign=sign, seq_axis=seq_axis,
+                             norm=norm)
     mapped = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
                            out_specs=(spec, spec), check_vma=False)
     return jax.jit(mapped)

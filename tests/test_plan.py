@@ -283,3 +283,16 @@ def test_df64_view_path(monkeypatch):
     assert rel_err(out, ref) < 1e-12
     rt = plan.execute(out, inverse=True)
     assert rel_err(rt, x) < 1e-12
+
+
+def test_df64_fallback_to_xla(monkeypatch):
+    """c128 shape with a pass the df64 kernels don't cover (column trail
+    < 128 lanes) silently falls back to the XLA f64 path — same results."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((256, 64), seed=42, dtype=np.complex128)
+    plan = Plan((256, 64), np.complex128)
+    rr, ii = plan.execute(np.real(x), np.imag(x))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x)
+    assert rel_err(got, ref) < 1e-12
