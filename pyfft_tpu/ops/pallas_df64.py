@@ -41,7 +41,13 @@ __all__ = ["supported", "fft_axis_df64", "fft_axis_large_df64",
            "MAX_LOCAL_N_DF64", "tile_fft_df64", "default_factors_df64"]
 
 LANES = 128
-MAX_LOCAL_N_DF64 = 4096
+# Compile-safety ceilings measured on v5e (the df64 butterfly chains hold
+# ~n*lanes-sized live values; Mosaic's register allocator spills them to
+# scoped VMEM, which blows the 128 MiB cap past these sizes):
+#   row / col kernels:            n <= 2048
+#   col + fused twiddle + swap:   n <= 1024
+MAX_LOCAL_N_DF64 = 2048
+SWAP_MAX_DF64 = 1024
 _MIN_N = 8
 
 
@@ -299,7 +305,7 @@ def supported(rh, axis: int, max_local: int | None = None) -> bool:
         pass
     elif max_local < n <= max_local * max_local and axis == rh.ndim - 1:
         n1, n2 = _choose_split_df64(n, max_local)
-        return n1 >= LANES and n2 >= LANES
+        return LANES <= n1 <= max_local and LANES <= n2 <= max_local
     else:
         return False
     if axis == rh.ndim - 1:
@@ -345,20 +351,38 @@ def _choose_split_df64(n: int, max_local: int) -> tuple[int, int]:
 
 def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
                         max_local: int | None = None,
+                        swap_max: int | None = None,
                         interpret: bool | None = None):
-    """Two-pass four-step df64 DFT over the last axis (same structure as
-    the c64 path in ops/fourstep.py: column pass with fused twiddle and
-    digit-swapped store, then a second column pass)."""
+    """Four-step df64 DFT over the last axis.
+
+    Two forms, chosen by the measured compile ceilings:
+
+    * two-pass (n <= swap_max * max_local): column pass with fused twiddle
+      and digit-swapped store, then a second column pass — the same
+      structure as the c64 path in ops/fourstep.py;
+    * three-pass (up to max_local^2): column pass with fused twiddle (no
+      swap), row pass with the scale folded in, then one XLA digit-swap
+      transpose of the four f32 planes.
+    """
     rh = planes[0]
     axis = axis % rh.ndim
     assert axis == rh.ndim - 1
     n = rh.shape[-1]
     max_local = max_local or MAX_LOCAL_N_DF64
+    swap_max = swap_max or min(SWAP_MAX_DF64, max_local)
     n1, n2 = _choose_split_df64(n, max_local)
     lead = rh.shape[:-1]
+    if n1 > swap_max and n2 <= swap_max:
+        n1, n2 = n2, n1
     x = tuple(p.reshape(*lead, n1, n2) for p in planes)
-    x = fft_axis_df64(x, sign, axis=-2, tw_n=n, swap_store=True,
+    if n1 <= swap_max:
+        x = fft_axis_df64(x, sign, axis=-2, tw_n=n, swap_store=True,
+                          interpret=interpret)
+        x = fft_axis_df64(x, sign, axis=-2, postscale=postscale,
+                          interpret=interpret)
+        return tuple(p.reshape(*lead, n) for p in x)
+    # three-pass form: too big for the swap-store kernel
+    x = fft_axis_df64(x, sign, axis=-2, tw_n=n, interpret=interpret)
+    x = fft_axis_df64(x, sign, axis=-1, postscale=postscale,
                       interpret=interpret)
-    x = fft_axis_df64(x, sign, axis=-2, postscale=postscale,
-                      interpret=interpret)
-    return tuple(p.reshape(*lead, n) for p in x)
+    return tuple(jnp.swapaxes(p, -1, -2).reshape(*lead, n) for p in x)

@@ -116,3 +116,15 @@ def test_df64_nonpow2_scale():
     got = _unquad(out)
     ref = np.fft.fft(x, axis=-1) * 0.3
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_df64_fourstep_threepass_parity():
+    """The 3-pass form (swap-store kernel too big): col+tw, row, XLA swap."""
+    n = 1 << 16
+    x = _rand((2, n), 17) + 1j * _rand((2, n), 18)
+    out = pallas_df64.fft_axis_large_df64(_quad(x), -1, axis=-1,
+                                          max_local=256, swap_max=128,
+                                          interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
