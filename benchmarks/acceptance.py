@@ -72,21 +72,38 @@ def run_config(name, shape, batch, dtype, iters=10):
     # donate: reuse buffers like the reference's in-place execute — config 5
     # (8 GiB of planes) needs it on a 16 GiB chip
     plan = Plan(shape, dtype, donate=(np.dtype(dtype).itemsize == 16))
-    bshape = (batch,) if batch > 1 else ()
-    fn = plan._get_callable(bshape, False, "planar")
     real_dt = jnp.float32 if dtype == np.complex64 else jnp.float64
+
+    # Host-level batch sweep for workloads whose in+out planes exceed what
+    # one device program can hold (this environment's TPU rejects ~8 GiB
+    # programs): run the same total work as k sequential sub-batches — the
+    # analog of the reference's per-batch kernel launch loop.
+    io_bytes = 2 * 2 * batch * math.prod(shape) * np.dtype(real_dt).itemsize
+    sweep = 1
+    while io_bytes // sweep > (4 << 30) and batch % (2 * sweep) == 0:
+        sweep *= 2
+    sub = batch // sweep
+    bshape = (sub,) if sub > 1 else ()
+    fn1 = plan._get_callable(bshape, False, "planar")
     full = bshape + shape
 
-    def fresh():
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        return (jax.random.normal(k1, full, real_dt),
-                jax.random.normal(k2, full, real_dt))
+    def fn(*chunks):
+        return tuple(fn1(*chunks[i]) for i in range(sweep))
 
+    def fresh():
+        ks = jax.random.split(jax.random.PRNGKey(0), 2 * sweep)
+        return tuple((jax.random.normal(ks[2 * i], full, real_dt),
+                      jax.random.normal(ks[2 * i + 1], full, real_dt))
+                     for i in range(sweep))
+
+    if sweep > 1:
+        print(f"   [{name}: swept as {sweep} x batch={sub} "
+              f"(device program cap)]", flush=True)
     dt = bench(fn, fresh, k2=iters)
     n = math.prod(shape)
     gf = 5 * n * math.log2(n) * batch / dt / 1e9
-    err = parity(fn if batch > 1 else (lambda r, i: plan._get_callable(
-        (2,), False, "planar")(r, i)), shape, batch, dtype)
+    err = parity(lambda r, i: plan._get_callable((2,), False, "planar")(r, i),
+                 shape, batch, dtype)
     tol = 2e-6 if dtype == np.complex64 else 1e-11
     status = "PASS" if err < tol else "FAIL"
     row = dict(config=name, shape=shape, batch=batch,

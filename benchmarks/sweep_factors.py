@@ -16,7 +16,10 @@ CLAUDE.md (lane tiles > 128, non-128-multiple minors).
 from __future__ import annotations
 
 import ast
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

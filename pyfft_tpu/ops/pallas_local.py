@@ -77,49 +77,51 @@ _PREC_MAP = {
 # 1 MiB of VMEM; f=512 would be 4 MiB and starts crowding out data tiles.
 MAX_FACTOR = 256
 
-# Modeled VPU overhead per extra stage (twiddle multiply + the stacked
-# concatenate), in the same units as ``stage_cost``; discourages needless
-# deep chains when costs tie.
-_STAGE_PENALTY = 64
+# Modeled overhead per extra stage (twiddle multiply + buffer churn), in
+# the same units as ``stage_cost``; discourages needless deep chains.
+_STAGE_PENALTY = 16
 
 
 def stage_cost(f: int) -> int:
-    """Modeled MXU cost per element of one f-point DFT-matrix stage.
+    """Modeled per-element cost of one f-point stage, TPU-calibrated.
 
-    A stacked complex stage is one dense (2f, 2f) real matmul: for 2f >= 128
-    every MXU tile is fully used, so cost ~ 4f madds/element.  Below that the
-    systolic array runs at (2f/128)^2 occupancy, so cost ~ 4f*(128/2f)^2 =
-    16384/f.  The minimum sits at f=64 (exactly one full 128x128 tile) —
-    this model is why e.g. a direct 256-point contraction beats (16, 16)
-    stages 2x despite doing 8x the useful FLOPs.
+    MXU stages (f >= 64): one dense stacked (2f, 2f) matmul — every tile of
+    the systolic array fully used, cost ~ 4f madds/element.  MXU stages
+    below 64 run at (2f/128)^2 occupancy (cost 16384/f) and are never
+    optimal.  Factors 2 and 4 run as exact VPU butterflies (add/sub chains,
+    +-i swaps); their constants are calibrated so the DP reproduces the
+    measured rankings on v5e: n=4096 (4,4,4,64) beats (64,64); n=256
+    (4,64)/(2,128) beat (256,) ~5x; 128-point single stages stay single.
     """
+    if f == 2:
+        return 100
+    if f == 4:
+        return 64
     return 4 * f if f >= 64 else 16384 // f
 
 
 @functools.lru_cache(maxsize=None)
 def default_factors(n: int) -> tuple[int, ...]:
-    """Min-modeled-cost factorization of n into DFT-matrix stages.
+    """TPU-calibrated factorization: radix-4 VPU butterflies in front of
+    one full-width MXU stage.
 
-    Dynamic program over ``stage_cost`` + a per-stage VPU penalty.  Replaces
-    the reference's fixed radix-8/4/2 ladder (``getRadixArray``,
-    pyfft/kernel_helpers.py): on the MXU the tradeoff is array occupancy vs
-    madds, not register pressure, and the optimum (64s and 128s, remainders
-    absorbed into one wide or one narrow stage) looks nothing like the GPU
-    one.
+    Replaces the reference's fixed radix-8/4/2 ladder (``getRadixArray``,
+    pyfft/kernel_helpers.py): on TPU the tradeoff is MXU occupancy vs madds
+    vs VPU butterfly work.  Measured on v5e: (4,4,4,64) beats (64,64) at
+    n=4096 by 15-50%; (4,64) beats the single 256-point contraction ~5x;
+    butterfly-LAST chains like (64,4) are ~4x slower than butterfly-first
+    (the late small-factor axis sits badly in the tile layout), hence the
+    fixed prefix ordering.  The MXU stage is 64 or 128 — whichever parity
+    makes the remainder a whole number of radix-4s (always possible).
     """
     if n <= _MIN_N:
         return (n,)
     p = n.bit_length() - 1
-    maxk = MAX_FACTOR.bit_length() - 1
-    best: dict[int, tuple[int, tuple[int, ...]]] = {0: (0, ())}
-    for q in range(1, p + 1):
-        cands = []
-        for k in range(1, min(q, maxk) + 1):
-            sub = best[q - k]
-            cands.append((sub[0] + stage_cost(1 << k) + _STAGE_PENALTY,
-                          ((1 << k),) + sub[1]))
-        best[q] = min(cands)
-    return best[p][1]
+    if p < 6:
+        return (n,)               # cold small sizes: one matmul stage
+    mxu = 64 if (p - 6) % 2 == 0 else 128
+    r = p - (mxu.bit_length() - 1)
+    return (4,) * (r // 2) + (mxu,)
 
 
 # Factors executed as exact VPU butterflies (twiddle-free add/sub chains)

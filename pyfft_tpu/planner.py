@@ -139,9 +139,16 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
             # Beyond one VMEM tile: two-pass four-step through HBM
             # (column FFT + fused twiddle + digit-swapped store, then a
             # second column FFT); split chosen by the MXU cost model.
+            # No valid split (both factors must be >= one lane tile, e.g.
+            # c128 n=4096 with its 2048 local cap) -> XLA fallback.
             from pyfft_tpu.ops.fourstep import choose_split
+            try:
+                split = choose_split(n, max_local_n)
+            except ValueError:
+                passes.append(AxisPass(axis=axis, n=n, executor="xla"))
+                continue
             passes.append(AxisPass(axis=axis, n=n, executor="fourstep",
-                                   split=choose_split(n, max_local_n)))
+                                   split=split))
         else:
             passes.append(AxisPass(axis=axis, n=n, executor="xla"))
     return ExecPlan(shape=shape, dtype=dtype, passes=tuple(passes),

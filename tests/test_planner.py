@@ -55,10 +55,14 @@ def test_tpu_3d_fused_tail():
 
 def test_tpu_c128_df64():
     """complex128 rides the double-float Pallas kernels on TPU."""
-    p = build_plan((4096,), np.complex128, on_tpu=True)
+    p = build_plan((2048,), np.complex128, on_tpu=True)
     assert kinds(p) == ["local"]
     p = build_plan((1 << 22,), np.complex128, on_tpu=True)
     assert kinds(p) == ["fourstep"]
+    # the df64 kernels' gap (4096/8192: no valid >=128x128 split under the
+    # 2048 local cap) falls back to XLA f64
+    p = build_plan((4096,), np.complex128, on_tpu=True)
+    assert kinds(p) == ["xla"]
 
 
 def test_huge_axis_xla_fallback():
