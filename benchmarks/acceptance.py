@@ -49,7 +49,13 @@ def bench(fn, fresh, k1=2, k2=10):
     # congestion spikes and the differencing goes negative when one hits
     # the short run (see bench.py)
     diffs = [(run(k2) - run(k1)) / (k2 - k1) for _ in range(3)]
-    diffs = [d for d in diffs if d > 0] or diffs
+    diffs = [d for d in diffs if d > 0]
+    if not diffs:
+        # all trials spiked: one long-chain amortized measurement
+        diffs = [(run(4 * k2) - run(k1)) / (4 * k2 - k1)]
+        if diffs[0] <= 0:
+            raise RuntimeError("timing unstable: every differencing trial "
+                               "was non-positive (tunnel congestion)")
     return min(diffs)
 
 

@@ -36,11 +36,13 @@ __all__ = ["fft_axis_large", "choose_split", "supported"]
 def choose_split(n: int, max_local: int | None = None) -> tuple[int, int]:
     """(n1, n2) with n1*n2 = n, both <= max_local, minimizing modeled cost.
 
-    The split is chosen by the same MXU-occupancy model the local kernel's
-    factorization uses (``stage_cost``): e.g. 2^20 = 8192 * 128 (all
-    full-width stages) beats the balanced 1024 * 1024 (whose 32-point
-    stages run the MXU quarter-filled) by ~1.6x modeled compute.  Both
-    factors must give the column kernels at least one 128-lane trail tile.
+    The split minimizes summed ``stage_cost`` over both factors' default
+    chains (ties break toward the balanced split, which has the lower VMEM
+    peak).  Under the butterfly-prefix factorization the balanced splits
+    usually win — e.g. 2^20 -> (1024, 1024), two (4,4,64) chains.  Both
+    factors must give the column kernels at least one 128-lane trail tile,
+    so no valid split exists for max_local < n < 128*128: callers must
+    handle the ValueError (the planner falls back to XLA).
     """
     max_local = max_local or pallas_local.MAX_LOCAL_N
     lanes = pallas_local.LANES
@@ -71,7 +73,13 @@ def supported(re, axis: int, max_local: int | None = None) -> bool:
         return False
     max_local = max_local or pallas_local.MAX_LOCAL_N
     n = re.shape[axis]
-    return (is_power_of_two(n) and max_local < n <= max_local * max_local)
+    if not (is_power_of_two(n) and max_local < n <= max_local * max_local):
+        return False
+    try:
+        choose_split(n, max_local)   # both factors must fill a lane tile
+    except ValueError:
+        return False
+    return True
 
 
 def fft_axis_large(re, im, sign, *, axis, postscale: float = 1.0,

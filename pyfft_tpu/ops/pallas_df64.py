@@ -35,12 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pyfft_tpu.ops.df64 import df64_const, df_add, df_cmul, df_scale_pow2
+from pyfft_tpu.ops.pallas_local import LANES, _interpret_default
 from pyfft_tpu.utils.radix import is_power_of_two
 
 __all__ = ["supported", "fft_axis_df64", "fft_axis_large_df64",
            "MAX_LOCAL_N_DF64", "tile_fft_df64", "default_factors_df64"]
-
-LANES = 128
 # Compile-safety ceilings measured on v5e (the df64 butterfly chains hold
 # ~n*lanes-sized live values; Mosaic's register allocator spills them to
 # scoped VMEM, which blows the 128 MiB cap past these sizes):
@@ -286,10 +285,6 @@ def _fft_cols_df64(rh, rl, ih, il, *, n, sign, postscale, interpret,
             compiler_params=_vmem_params(),
             interpret=interpret,
         )(*flat, *extra, rh, rl, ih, il)
-
-
-def _interpret_default() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
 
 
 def supported(rh, axis: int, max_local: int | None = None) -> bool:

@@ -73,15 +73,6 @@ _PREC_MAP = {
 }
 
 
-# Largest single-stage DFT factor: the stacked (2f, 2f) table for f=256 is
-# 1 MiB of VMEM; f=512 would be 4 MiB and starts crowding out data tiles.
-MAX_FACTOR = 256
-
-# Modeled overhead per extra stage (twiddle multiply + buffer churn), in
-# the same units as ``stage_cost``; discourages needless deep chains.
-_STAGE_PENALTY = 16
-
-
 def stage_cost(f: int) -> int:
     """Modeled per-element cost of one f-point stage, TPU-calibrated.
 

@@ -136,14 +136,20 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
         elif (kernels_ok and axis == ndim - 1
               and max_local_n < n <= max_local_n * max_local_n):
-            # Beyond one VMEM tile: two-pass four-step through HBM
-            # (column FFT + fused twiddle + digit-swapped store, then a
-            # second column FFT); split chosen by the MXU cost model.
-            # No valid split (both factors must be >= one lane tile, e.g.
+            # Beyond one VMEM tile: four-step through HBM.  The recorded
+            # split is the one the executor will actually use (c64: MXU
+            # cost model; c128: the df64 kernels' balanced split).  No
+            # valid split (both factors must be >= one lane tile, e.g.
             # c128 n=4096 with its 2048 local cap) -> XLA fallback.
-            from pyfft_tpu.ops.fourstep import choose_split
             try:
-                split = choose_split(n, max_local_n)
+                if pallas_df64_ok:
+                    from pyfft_tpu.ops.pallas_df64 import _choose_split_df64
+                    split = _choose_split_df64(n, max_local_n)
+                    if not all(128 <= f <= max_local_n for f in split):
+                        raise ValueError("no df64 split")
+                else:
+                    from pyfft_tpu.ops.fourstep import choose_split
+                    split = choose_split(n, max_local_n)
             except ValueError:
                 passes.append(AxisPass(axis=axis, n=n, executor="xla"))
                 continue
