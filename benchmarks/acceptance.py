@@ -145,6 +145,8 @@ def main():
             ("3: 2D c64 1024^2 b=16", (1024, 1024), 16, np.complex64, 24),
             ("4: 3D c64 256^3", (256, 256, 256), 1, np.complex64, 16),
             ("5: 1D c128 N=2^22 b=64", (1 << 22,), 64, np.complex128, 3),
+            # beyond the BASELINE set: the large-N c64 two-pass four-step
+            ("6+: 1D c64 N=2^22 b=8", (1 << 22,), 8, np.complex64, 8),
         ]
 
     rows = []
