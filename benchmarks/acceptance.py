@@ -159,7 +159,7 @@ def main():
             rows.append(dict(config=cfg[0], error=str(e).splitlines()[0][:200]))
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results.json")
+                       "results_small.json" if args.small else "results.json")
     with open(out, "w") as f:
         json.dump(dict(backend=jax.default_backend(), rows=rows), f, indent=1)
     print(f"wrote {out}", flush=True)
