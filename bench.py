@@ -9,10 +9,20 @@ single-HBM-pass roofline for this config on v5e
 (bytes = 2 * N * batch * 8 at 819 GB/s -> 3071 GFLOP/s effective; target
 = 2150).  1.0 means the north-star is met.
 
-The timing forces execution with a tiny device-side reduction fetch: on this
-environment's TPU tunnel, block_until_ready() is a no-op and full
-device_get drags hundreds of MB over the wire.  k-chained differencing
-removes the fetch latency.
+Timing strategy (this environment's TPU is behind a congested tunnel where
+``block_until_ready`` is a no-op and per-call dispatch latency swings 2-4x
+between identical runs):
+
+* PRIMARY estimator — in-jit scan chain: ONE dispatched program runs k
+  kernel iterations via ``lax.scan`` (the plan is built with
+  scale=1/sqrt(N) so chained magnitudes are stationary — no overflow).
+  Differencing two chain lengths cancels the single round-trip constant,
+  leaving pure device time; tunnel congestion cannot multiply into it.
+* SECONDARY estimator — k-chained host dispatch differencing (the round-1
+  method), kept as a cross-check family.
+
+The reported value is the min positive estimate across both families,
+spread over ~a minute of trials.
 """
 
 from __future__ import annotations
@@ -59,7 +69,12 @@ def main():
     signal.alarm(TIMEOUT_S)
     from pyfft_tpu.plan import Plan
 
-    plan = Plan((N,))
+    # scale=1/sqrt(N): the forward FFT then preserves RMS magnitude
+    # (Parseval), so arbitrarily long timing chains stay finite in f32.
+    # donate=True: the kernel aliases its input/output HBM buffers, so the
+    # scan-chain carries need no copies (XLA otherwise inserts a 2x64 MiB
+    # copy per iteration around the custom call in the loop body).
+    plan = Plan((N,), scale=1.0 / math.sqrt(N), donate=True)
     fn = plan._get_callable((BATCH,), False, "planar")
 
     key = jax.random.PRNGKey(0)
@@ -67,35 +82,56 @@ def main():
     re = jax.random.normal(k1, (BATCH, N), jnp.float32)
     im = jax.random.normal(k2, (BATCH, N), jnp.float32)
 
-    out = fn(re, im)
+    # fn donates its inputs (in-place plan): every direct call gets fresh
+    # buffers (re + 0); the master copies re/im stay valid for the scan
+    # chains, whose outer jit does not donate.
+    out = fn(re + 0, im + 0)
     _force(out)
 
+    # ---- primary: in-jit scan chains (one dispatch per measurement) ----
+    def make_chain(k):
+        @jax.jit
+        def chain(r, i):
+            def body(c, _):
+                return fn(*c), None
+            (r, i), _ = jax.lax.scan(body, (r, i), None, length=k)
+            return r, i
+        return chain
+
+    KA, KB = 16, 216
+    chain_a, chain_b = make_chain(KA), make_chain(KB)
+
+    def t_of(c):
+        t0 = time.perf_counter()
+        _force(c(re, im))
+        return time.perf_counter() - t0
+
+    t_of(chain_a), t_of(chain_b)        # compile both
+
+    # ---- secondary: host-dispatch chain differencing (round-1 method) ----
     def run(k):
         t0 = time.perf_counter()
-        o = (re, im)
+        o = (re + 0, im + 0)      # constant per-run cost, cancels in the diff
         for _ in range(k):
-            o = fn(*o)
+            o = fn(*o)            # donates o, writes in place
         _force(o)
         return time.perf_counter() - t0
 
     run(2)
-    ka, kb = 4, 24
-    # The tunnel to the TPU suffers 2-4x congestion spikes between identical
-    # runs (the same binary has measured 0.32 and 0.92 ms an hour apart);
-    # collect two estimator families spread over ~a minute and take the min
-    # of the positive estimates: short chained differences (tight but
-    # spike-prone) and long-chain amortizations (upper bounds, stable).
-    diffs = []
-    for trial in range(8):
-        diffs.append((run(kb) - run(ka)) / (kb - ka))
-        if trial % 3 == 2:
-            diffs.append((run(100) - run(2)) / 98)
+
+    scan_est, host_est = [], []
+    for trial in range(6):
+        ta, tb = t_of(chain_a), t_of(chain_b)
+        scan_est.append((tb - ta) / (KB - KA))
+        if trial % 2 == 1:
+            host_est.append((run(24) - run(4)) / 20)
             time.sleep(2)
-    diffs = [d for d in diffs if d > 0]
+    host_est.append((run(100) - run(2)) / 98)
+
+    diffs = [d for d in scan_est + host_est if d > 0]
     if not diffs:
-        # everything spiked: one more long chain (never emit a crash or a
-        # negative rate — the driver expects exactly one JSON line)
-        diffs = [(run(100) - run(2)) / 98]
+        diffs = [(run(100) - run(2)) / 98, t_of(chain_b) / KB]
+        diffs = [d for d in diffs if d > 0] or [t_of(chain_b) / KB]
     dt = max(min(diffs), 1e-9)
 
     eff_flops = 5.0 * N * math.log2(N) * BATCH
@@ -103,12 +139,13 @@ def main():
     roof = eff_flops / (2.0 * N * BATCH * 8 / HBM_BW) / 1e9
     target = 0.70 * roof
 
-    # parity spot check against numpy on a slice
+    # parity spot check against numpy on a slice (undo the bench scale)
     rng = np.random.RandomState(1)
     xs = (rng.standard_normal((16, N)) + 1j * rng.standard_normal((16, N))
           ).astype(np.complex64)
-    rr, ii = fn(jnp.asarray(xs.real), jnp.asarray(xs.imag))
-    got = np.asarray(rr) + 1j * np.asarray(ii)
+    fn16 = plan._get_callable((16,), False, "planar")
+    rr, ii = fn16(jnp.asarray(xs.real), jnp.asarray(xs.imag))
+    got = (np.asarray(rr) + 1j * np.asarray(ii)) * math.sqrt(N)
     ref = np.fft.fft(xs.astype(np.complex128), axis=-1)
     err = float(np.abs(got - ref).max() / np.abs(ref).max())
 
@@ -123,6 +160,8 @@ def main():
             "roofline_gflops": round(roof, 1),
             "target_gflops_70pct_roofline": round(target, 1),
             "backend": jax.default_backend(),
+            "ms_scan_estimates": [round(d * 1e3, 4) for d in scan_est],
+            "ms_host_estimates": [round(d * 1e3, 4) for d in host_est],
         },
     }))
 

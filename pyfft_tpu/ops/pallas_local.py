@@ -272,7 +272,7 @@ def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
 
 
 def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
-              precision, stacked, lanes, interleaved):
+              precision, stacked, lanes, interleaved, alias_io=False):
     # Trace the kernel with x64 semantics off regardless of caller config:
     # under x64, Pallas index bookkeeping picks up 64-bit types that Mosaic
     # cannot legalize ("failed to legalize operation 'func.return'"); the
@@ -282,11 +282,11 @@ def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
                                postscale=postscale, interpret=interpret,
                                factors=factors, precision=precision,
                                stacked=stacked, lanes=lanes,
-                               interleaved=interleaved)
+                               interleaved=interleaved, alias_io=alias_io)
 
 
 def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
-                    precision, stacked, lanes, interleaved):
+                    precision, stacked, lanes, interleaved, alias_io):
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
     layout = tuple((k, len(v)) for k, v in tables.items())
@@ -299,20 +299,29 @@ def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, n, layout, postscale, factors,
                              precision, stacked, interleaved, sign)
+    nt = len(tspec)
     if interleaved:
         out_shape = jax.ShapeDtypeStruct((rows, width), jnp.float32)
         out_specs = dspec
         in_specs = tspec + [dspec]
+        aliases = {nt: 0} if alias_io else {}
     else:
         out_shape = (jax.ShapeDtypeStruct((rows, n), jnp.float32),) * 2
         out_specs = (dspec, dspec)
         in_specs = tspec + [dspec, dspec]
+        aliases = {nt: 0, nt + 1: 1} if alias_io else {}
+    # alias_io: each grid step reads and writes the SAME (lanes, n) block,
+    # so in-place aliasing is race-free; it lets XLA drop the carry copies
+    # it otherwise inserts around custom calls in scan/while bodies and
+    # makes donate=True plans truly in-place (reference's execute mutated
+    # its GPU buffer in place — SURVEY.md §2.9-bis).
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=8 * n * sum(factors) * lanes * grid[0],
             bytes_accessed=rows * n * 4 * 4,
@@ -332,22 +341,23 @@ def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes"))
+    "lanes", "alias_io"))
 def _fft_rows(re, im, *, n, sign, postscale, interpret,
-              factors=None, precision=_PRECISION, stacked=True, lanes=LANES):
+              factors=None, precision=_PRECISION, stacked=True, lanes=LANES,
+              alias_io=False):
     out_r, out_i = _row_call(
         (re, im), re.shape[0], n, sign=sign, postscale=postscale,
         interpret=interpret, factors=factors, precision=precision,
-        stacked=stacked, lanes=lanes, interleaved=False)
+        stacked=stacked, lanes=lanes, interleaved=False, alias_io=alias_io)
     return out_r, out_i
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes"))
+    "lanes", "alias_io"))
 def _fft_rows_interleaved(v, *, n, sign, postscale, interpret,
                           factors=None, precision=_PRECISION, stacked=True,
-                          lanes=LANES):
+                          lanes=LANES, alias_io=False):
     """FFT of (rows, 2n) interleaved-complex f32 views, fully fused.
 
     The input is the bitcast view of a complex64 (rows, n) array
@@ -358,11 +368,11 @@ def _fft_rows_interleaved(v, *, n, sign, postscale, interpret,
     return _row_call(
         (v,), v.shape[0], n, sign=sign, postscale=postscale,
         interpret=interpret, factors=factors, precision=precision,
-        stacked=stacked, lanes=lanes, interleaved=True)
+        stacked=stacked, lanes=lanes, interleaved=True, alias_io=alias_io)
 
 
 def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, alias_io=False):
     """Public wrapper: v is a (..., 2n) f32 view of interleaved complex."""
     if interpret is None:
         interpret = _interpret_default()
@@ -371,7 +381,7 @@ def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
     rows = math.prod(lead) if lead else 1
     out = _fft_rows_interleaved(v.reshape(rows, 2 * n), n=n, sign=sign,
                                 postscale=float(postscale),
-                                interpret=bool(interpret))
+                                interpret=bool(interpret), alias_io=alias_io)
     return out.reshape(*lead, 2 * n)
 
 
@@ -419,10 +429,10 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes", "tw_n", "swap_store"))
+    "lanes", "tw_n", "swap_store", "alias_io"))
 def _fft_cols(re, im, *, n, sign, postscale, interpret,
               factors=None, precision=_PRECISION, stacked=True, lanes=LANES,
-              tw_n: int = 0, swap_store: bool = False):
+              tw_n: int = 0, swap_store: bool = False, alias_io=False):
     """FFT over axis 1 of (L, n, T) planar arrays (column kernel).
 
     ``tw_n``: if nonzero, multiply the spectral output elementwise by the
@@ -438,11 +448,13 @@ def _fft_cols(re, im, *, n, sign, postscale, interpret,
         return _fft_cols_inner(re, im, n=n, sign=sign, postscale=postscale,
                                interpret=interpret, factors=factors,
                                precision=precision, stacked=stacked,
-                               lanes=lanes, tw_n=tw_n, swap_store=swap_store)
+                               lanes=lanes, tw_n=tw_n, swap_store=swap_store,
+                               alias_io=alias_io)
 
 
 def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
-                    factors, precision, stacked, lanes, tw_n, swap_store):
+                    factors, precision, stacked, lanes, tw_n, swap_store,
+                    alias_io):
     L, _, T = re.shape
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
@@ -468,12 +480,17 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
         oshape = jax.ShapeDtypeStruct((L, n, T), jnp.float32)
     kern = functools.partial(_col_kernel, n, layout, postscale, factors,
                              precision, stacked, bool(tw_n), swap_store, sign)
+    # in-place aliasing only when blocks map 1:1 (not the digit-swap store,
+    # whose output block lives at a different offset than its input block)
+    nd = len(tspec)
+    aliases = {nd: 0, nd + 1: 1} if (alias_io and not swap_store) else {}
     out_r, out_i = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=tspec + [dspec, dspec],
         out_specs=(ospec, ospec),
         out_shape=(oshape, oshape),
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=8 * n * sum(factors) * lanes * grid[0] * grid[1],
             bytes_accessed=L * n * T * 4 * 4,
@@ -520,19 +537,20 @@ def _fused2d_kernel(ny, nx, layout, postscale, fy, fx, precision, stacked,
 
 @functools.partial(jax.jit, static_argnames=(
     "ny", "nx", "sign", "postscale", "interpret", "factors_y", "factors_x",
-    "precision", "stacked"))
+    "precision", "stacked", "alias_io"))
 def _fft2_fused(re, im, *, ny, nx, sign, postscale, interpret,
                 factors_y=None, factors_x=None, precision=_PRECISION,
-                stacked=True):
+                stacked=True, alias_io=False):
     with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
         return _fft2_fused_inner(re, im, ny=ny, nx=nx, sign=sign,
                                  postscale=postscale, interpret=interpret,
                                  factors_y=factors_y, factors_x=factors_x,
-                                 precision=precision, stacked=stacked)
+                                 precision=precision, stacked=stacked,
+                                 alias_io=alias_io)
 
 
 def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
-                      factors_y, factors_x, precision, stacked):
+                      factors_y, factors_x, precision, stacked, alias_io):
     L = re.shape[0]
     fy = tuple(factors_y or default_factors(ny))
     fx = tuple(factors_x or default_factors(nx))
@@ -548,12 +566,15 @@ def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
     kern = functools.partial(_fused2d_kernel, ny, nx, layout, postscale,
                              fy, fx, precision, stacked, sign)
     oshape = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
+    nd = len(tspec)
+    aliases = {nd: 0, nd + 1: 1} if alias_io else {}
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=tspec + [dspec, dspec],
         out_specs=(dspec, dspec),
         out_shape=(oshape, oshape),
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=8 * ny * nx * (sum(fy) + sum(fx)) * L,
             bytes_accessed=L * ny * nx * 4 * 4,
@@ -582,7 +603,8 @@ def supported_2d(re, im=None) -> bool:
 
 def fft2_fused(re, im, sign, *, postscale: float = 1.0,
                interpret: bool | None = None, factors_y=None, factors_x=None,
-               precision: str = _PRECISION, stacked: bool = True):
+               precision: str = _PRECISION, stacked: bool = True,
+               alias_io: bool = False):
     """2D DFT over the last two axes of planar f32 arrays, one HBM pass.
 
     TPU-native fusion of the reference's separate row/column kernel passes
@@ -602,7 +624,8 @@ def fft2_fused(re, im, sign, *, postscale: float = 1.0,
                          interpret=bool(interpret),
                          factors_y=tuple(factors_y) if factors_y else None,
                          factors_x=tuple(factors_x) if factors_x else None,
-                         precision=precision, stacked=stacked)
+                         precision=precision, stacked=stacked,
+                         alias_io=alias_io)
     return rr.reshape(shape), ii.reshape(shape)
 
 
@@ -628,7 +651,8 @@ def supported(re, axis: int) -> bool:
 def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
              interpret: bool | None = None, factors=None,
              precision: str = _PRECISION, stacked: bool = True,
-             lanes: int = LANES, tw_n: int = 0, swap_store: bool = False):
+             lanes: int = LANES, tw_n: int = 0, swap_store: bool = False,
+             alias_io: bool = False):
     """DFT along ``axis`` of planar f32 arrays.
 
     Last axis -> row kernel (in-VMEM transpose brackets); any other axis ->
@@ -647,7 +671,8 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
     kw = dict(n=n, sign=sign, postscale=float(postscale),
               interpret=bool(interpret),
               factors=tuple(factors) if factors else None,
-              precision=precision, stacked=stacked, lanes=lanes)
+              precision=precision, stacked=stacked, lanes=lanes,
+              alias_io=bool(alias_io))
     shape = re.shape
     if axis == re.ndim - 1:
         assert not tw_n, "fused twiddle is a column-pass feature"

@@ -81,9 +81,16 @@ def _dist_fft_body(re, im, *, sign: int, n: int, s: int, seq_axis: str,
     ci = jnp.einsum("kj,...jl->...kl", wr, im2) + jnp.einsum("kj,...jl->...kl", wi, re2)
 
     # Step 3: twiddle w_N^(k1 * j2_global); j2_global = me*(L/S) + local.
+    # The phase index is reduced mod n in integers BEFORE the float cast:
+    # k1*j2 < n always, but reducing keeps the float32 angle error bounded
+    # by 2^-24 of a full turn for every n (an unreduced f32 product loses
+    # integer exactness beyond 2^24 — the kernel paths' twiddle tables are
+    # exact for the same reason, see ops/twiddle.py).
     k1 = jax.lax.broadcasted_iota(jnp.int32, (s, L // s), 0)
     j2 = jax.lax.broadcasted_iota(jnp.int32, (s, L // s), 1) + me * (L // s)
-    ang = (k1.astype(dtype) * j2.astype(dtype)) * dtype.type(
+    m = (k1 * j2) % np.int32(n) if n < 2 ** 31 else (
+        (k1.astype(jnp.int64) * j2.astype(jnp.int64)) % n).astype(jnp.int64)
+    ang = m.astype(dtype) * dtype.type(
         (-2.0 if sign < 0 else 2.0) * math.pi / n)
     tr, ti = jnp.cos(ang), jnp.sin(ang)
     dr = cr * tr - ci * ti

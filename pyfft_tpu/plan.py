@@ -14,7 +14,8 @@ Differences from the reference, by design (JAX is functional):
   buffer in place; ``data_out`` arguments are therefore not part of the API.
 * ``stream=`` / ``queue=`` / ``context=`` are accepted for familiarity and
   only influence the async default (JAX dispatch is always async; the
-  ``wait_for_finish`` semantics are preserved via ``block_until_ready``).
+  ``wait_for_finish`` semantics are preserved via ``Plan._wait``, which
+  blocks for real even on backends where ``block_until_ready`` is a no-op).
 
 Split-complex mode follows the reference's dispatch-by-arity:
 ``plan.execute(re, im)`` takes and returns separate real/imag planes.
@@ -51,8 +52,10 @@ def _complex_on_device_ok() -> bool:
     so this is a static decision, not a probe.  Everything still works there:
     interleaved data is bitcast to planar on the host (free: a view) and
     computed planar on device, which is the faster layout on TPU anyway.
+    Only the known-complex-unsafe backends take the host view path — GPUs
+    and CPUs keep complex arrays on device (no extra host round trip).
     """
-    return jax.default_backend() == "cpu"
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 class Plan:
@@ -117,7 +120,8 @@ class Plan:
             from pyfft_tpu.ops import pallas_local
             if pallas_local.supported_2d(re):
                 rr, ii = pallas_local.fft2_fused(re, im, sign,
-                                                 postscale=postscale)
+                                                 postscale=postscale,
+                                                 alias_io=self.donate)
                 return rr, ii, True
             # fallback: two XLA passes over the covered axes
             rr, ii = fft_planar(re, im, sign, axis=re.ndim - 1)
@@ -127,7 +131,8 @@ class Plan:
             from pyfft_tpu.ops import pallas_local
             if pallas_local.supported(re, axis):
                 rr, ii = pallas_local.fft_axis(re, im, sign, axis=axis,
-                                               postscale=postscale)
+                                               postscale=postscale,
+                                               alias_io=self.donate)
                 return rr, ii, True
         if p.executor == "fourstep" and not self._force_xla:
             from pyfft_tpu.ops import fourstep
@@ -188,9 +193,14 @@ class Plan:
             scale_left = norm
             passes = self._exec_plan.passes
             for idx, p in enumerate(passes):
-                post = scale_left if idx == len(passes) - 1 else 1.0
+                is_final = idx == len(passes) - 1
+                post = scale_left if is_final else 1.0
                 re, im, scaled = self._run_axis_pass(re, im, p, sign, ndim, post)
-                if scaled:
+                # Only the final pass is handed the real scale; a non-final
+                # pass reporting scaled=True merely folded postscale=1.0, so
+                # clearing scale_left there would drop the 1/N normalization
+                # (and user scale) on every multi-pass plan.
+                if scaled and is_final:
                     scale_left = 1.0
             if scale_left != 1.0:
                 c = jnp.asarray(scale_left, dtype=re.dtype)
@@ -248,7 +258,7 @@ class Plan:
                     probe = jax.ShapeDtypeStruct(v.shape[:-1] + (n,), v.dtype)
                     if pallas_local.supported(probe, v.ndim - 1):
                         return pallas_local.fft_rows_interleaved(
-                            v, sign, postscale=norm)
+                            v, sign, postscale=norm, alias_io=self.donate)
                 pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
                 re, im = pairs[..., 0], pairs[..., 1]
                 re, im = run_planar(re, im)
@@ -325,10 +335,26 @@ class Plan:
             out = np.asarray(res).view(self.dtype).reshape(orig_shape)
         wait = self.wait_for_finish if wait_for_finish is None else wait_for_finish
         if wait:
-            jax.tree_util.tree_map(
-                lambda a: a.block_until_ready() if isinstance(a, jax.Array) else a,
-                out)
+            self._wait(out)
         return out
+
+    @staticmethod
+    def _wait(out) -> None:
+        """Actually-blocking sync (reference's ``wait_for_finish`` contract).
+
+        ``block_until_ready`` is a documented no-op on this environment's TPU
+        tunnel, so after it we additionally force completion by fetching one
+        element of each output through a device-side reduction
+        (``utils.profiling.force``) — cheap (one scalar over the wire) and
+        guaranteed to drain the dependency chain on every backend.
+        """
+        leaves = [a for a in jax.tree_util.tree_leaves(out)
+                  if isinstance(a, jax.Array)]
+        for a in leaves:
+            a.block_until_ready()
+        if leaves:
+            from pyfft_tpu.utils.profiling import force
+            force(leaves)
 
     def _canonicalize_host(self, x: np.ndarray, batch):
         ndim = len(self.shape)

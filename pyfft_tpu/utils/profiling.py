@@ -39,7 +39,10 @@ def force(tree) -> float:
     """
     leaves = [x for x in jax.tree_util.tree_leaves(tree)
               if isinstance(x, jax.Array)]
-    return float(jnp.sum(leaves[0].ravel()[:1]))
+    s = jnp.sum(leaves[0].ravel()[:1])
+    if jnp.issubdtype(s.dtype, jnp.complexfloating):
+        s = jnp.real(s)
+    return float(s)
 
 
 def time_chained(fn, args, k_small: int = 2, k_large: int = 12) -> float:

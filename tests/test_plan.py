@@ -285,6 +285,35 @@ def test_df64_view_path(monkeypatch):
     assert rel_err(rt, x) < 1e-12
 
 
+def test_multipass_inverse_normalize(monkeypatch):
+    """Regression: on a MULTI-pass Pallas plan (2D above the fused2d cap),
+    the inverse 1/N normalization and user scale must survive — round 1
+    cleared scale_left whenever ANY pass folded its (unit) postscale,
+    silently dropping 1/N on every multi-pass inverse (ADVICE.md high)."""
+    import pyfft_tpu.plan as planmod
+    from pyfft_tpu.ops import pallas_local
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    # force the multi-pass shape class at interpret-mode-friendly sizes
+    monkeypatch.setattr(pallas_local, "MAX_FUSED2D_ELEMS", 2 ** 14)
+    x = rand_complex((128, 256), seed=77)
+    plan = Plan((128, 256))
+    execs = [p.executor for p in plan._exec_plan.passes]
+    assert len(execs) == 2 and all(e == "local" for e in execs), execs
+    rr, ii = plan.execute(np.real(x).astype(np.float32),
+                          np.imag(x).astype(np.float32))
+    br, bi = plan.execute(rr, ii, inverse=True)
+    rt = np.asarray(br) + 1j * np.asarray(bi)
+    ref = np.fft.ifftn(np.fft.fftn(x.astype(np.complex128)))
+    assert rel_err(rt, ref) < TOL[np.complex64]
+    # user scale on a multi-pass forward
+    plan_s = Plan((128, 256), scale=0.25)
+    sr, si = plan_s.execute(np.real(x).astype(np.float32),
+                            np.imag(x).astype(np.float32))
+    got = np.asarray(sr) + 1j * np.asarray(si)
+    assert rel_err(got, 0.25 * np.fft.fftn(x.astype(np.complex128))) \
+        < TOL[np.complex64]
+
+
 def test_df64_fallback_to_xla(monkeypatch):
     """c128 shape with a pass the df64 kernels don't cover (column trail
     < 128 lanes) silently falls back to the XLA f64 path — same results."""
