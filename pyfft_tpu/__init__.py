@@ -11,6 +11,7 @@ __version__ = ".".join(map(str, VERSION))
 
 from pyfft_tpu.plan import Plan
 from pyfft_tpu.api import fft, ifft, fft2, ifft2, fftn, ifftn
+from pyfft_tpu.utils.cache import enable_compile_cache, warmup
 
 __all__ = ["Plan", "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-           "VERSION", "__version__"]
+           "enable_compile_cache", "warmup", "VERSION", "__version__"]

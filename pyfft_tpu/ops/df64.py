@@ -17,6 +17,7 @@ algorithms).  No reference-code lineage: pyfft used native CUDA double.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,9 +71,18 @@ def quick_two_sum(a, b):
 
 
 def _split(a):
-    """Veltkamp split of f32 into 12+12-bit halves. 4 flops."""
-    c = jnp.float32(4097.0) * a
-    hi = c - (c - a)
+    """Exact 12+12-bit split of f32 via mantissa masking. 3 ops.
+
+    The classic Veltkamp form (c = 4097*a; hi = c - (c - a)) is broken by
+    XLA CPU's default FMA contraction under jit (the (c - a) term fuses
+    with the multiply, changing its rounding), which silently degraded
+    df64 products to ~2^-25 in fused programs.  Masking the low 12
+    mantissa bits is rewrite-immune, exact, and cheaper: hi keeps 12
+    significant bits, lo = a - hi is the remaining <= 12 bits (exact by
+    Sterbenz), so all cross products in two_prod stay exact in f32.
+    """
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-4096), jnp.float32)
     return hi, a - hi
 
 

@@ -30,16 +30,29 @@ import jax.numpy as jnp
 from pyfft_tpu.ops import pallas_local
 from pyfft_tpu.utils.radix import is_power_of_two
 
-__all__ = ["fft_axis_large", "choose_split", "supported"]
+__all__ = ["fft_axis_large", "fft_axis_huge", "choose_split",
+           "choose_split3", "supported", "supported_huge"]
+
+
+# Measured per-element column-pass wall (relative units, scan-chain timed
+# on the 2^22/2^25-element four-step shapes, v5e round 2): the per-grid-step
+# overhead and MXU-stage width make n=1024/4096 passes cheaper per element
+# than n=2048, so the 2^22 split (1024, 4096) beats balanced (2048, 2048)
+# by ~12% end to end (benchmarks/probe_col7/8).
+_COL_UNIT_COST = {128: 1.30, 256: 1.16, 512: 1.05, 1024: 1.00,
+                  2048: 1.14, 4096: 1.00, 8192: 1.35}
+
+
+def _split_cost(n: int) -> float:
+    return _COL_UNIT_COST.get(n, 1.5)
 
 
 def choose_split(n: int, max_local: int | None = None) -> tuple[int, int]:
-    """(n1, n2) with n1*n2 = n, both <= max_local, minimizing modeled cost.
+    """(n1, n2) with n1*n2 = n, both <= max_local, minimizing measured cost.
 
-    The split minimizes summed ``stage_cost`` over both factors' default
-    chains (ties break toward the balanced split, which has the lower VMEM
-    peak).  Under the butterfly-prefix factorization the balanced splits
-    usually win — e.g. 2^20 -> (1024, 1024), two (4,4,64) chains.  Both
+    Both passes move the full array once, so the cost model is the sum of
+    the measured per-element pass costs of the two axis lengths (ties break
+    toward the balanced split, which has the lower VMEM peak).  Both
     factors must give the column kernels at least one 128-lane trail tile,
     so no valid split exists for max_local < n < 128*128: callers must
     handle the ValueError (the planner falls back to XLA).
@@ -54,9 +67,7 @@ def choose_split(n: int, max_local: int | None = None) -> tuple[int, int]:
             continue
         if n1 < lanes or n2 < lanes:
             continue
-        cost = (sum(map(pallas_local.stage_cost, pallas_local.default_factors(n1)))
-                + sum(map(pallas_local.stage_cost, pallas_local.default_factors(n2))))
-        key = (cost, abs(p1 - (p - p1)))   # tie-break toward balanced (VMEM)
+        key = (_split_cost(n1) + _split_cost(n2), abs(p1 - (p - p1)))
         if best is None or key < best[0]:
             best = (key, (n1, n2))
     if best is None:
@@ -82,23 +93,130 @@ def supported(re, axis: int, max_local: int | None = None) -> bool:
     return True
 
 
+def choose_split3(n: int, max_local: int | None = None
+                  ) -> tuple[int, int, int]:
+    """(n1, m1, m2) for the two-level (six-step) decomposition of huge n:
+    n = n1*m1*m2, every factor a local-kernel size, n1 >= LANES (the
+    mid-swap period must be a whole number of lane tiles) and m2 >= LANES
+    (pass-2's twiddle stride needs whole tiles per column)."""
+    max_local = max_local or pallas_local.MAX_LOCAL_N
+    lanes = pallas_local.LANES
+    p = n.bit_length() - 1
+    best = None
+    for p1 in range(7, p):
+        n1 = 1 << p1
+        if n1 > max_local:
+            break
+        n2 = n // n1
+        for q1 in range(7, p - p1):
+            m1, m2 = 1 << q1, n2 >> q1
+            if m1 > max_local or m2 > max_local or m2 < lanes:
+                continue
+            cost = (_split_cost(n1) + _split_cost(m1) + _split_cost(m2))
+            key = (cost, abs(q1 - (p - p1 - q1)), abs(2 * p1 - p))
+            if best is None or key < best[0]:
+                best = (key, (n1, m1, m2))
+    if best is None:
+        raise ValueError(f"n={n} has no two-level decomposition "
+                         f"(max_local={max_local})")
+    return best[1]
+
+
+def supported_huge(re, axis: int, max_local: int | None = None) -> bool:
+    if re.dtype != jnp.float32:
+        return False
+    if axis % re.ndim != re.ndim - 1:
+        return False
+    max_local = max_local or pallas_local.MAX_LOCAL_N
+    n = re.shape[axis]
+    if not (is_power_of_two(n) and n > max_local * max_local):
+        return False
+    try:
+        choose_split3(n, max_local)
+    except ValueError:
+        return False
+    return True
+
+
+def fft_axis_huge(re, im, sign, *, axis, postscale: float = 1.0,
+                  max_local: int | None = None,
+                  interpret: bool | None = None, fast_math: bool = True):
+    """Two-level (six-step) DFT for n beyond one four-step level.
+
+    n = n1*m1*m2 with every factor a local-kernel size; three fused column
+    passes, each one HBM round trip, digits landing in final DFT order:
+
+      view (..., n1, m1*m2):
+      1. col FFT over j1 + FACTORED level-1 twiddle w_n^(k1*j2)
+         (A/B tables, O(n1*n2/128) memory), digit-swap store
+         -> (..., m1, m2, k1)
+      2. col FFT over i1 (trail m2*n1) + STRIDED level-2 twiddle
+         w_{m1*m2}^(q1*i2) (constant per lane tile), mid-swap store with
+         period n1 -> (..., m2, q1, k1)
+      3. col FFT over i2 (trail m1*n1), postscale folded
+         -> (..., q2, q1, k1) = flattened DFT order.
+
+    The reference chained one global kernel per radix pass with no upper
+    bound on n (SURVEY.md §3.3); this is the TPU-native equivalent: the
+    planner docstring's "recurse until they fit" made true at two levels
+    (covering n up to MAX_LOCAL_N^3 = 2^39 — beyond any HBM).
+    """
+    axis = axis % re.ndim
+    assert axis == re.ndim - 1, "huge path covers the last axis"
+    n = re.shape[-1]
+    n1, m1, m2 = choose_split3(n, max_local)
+    n2 = m1 * m2
+    lead = re.shape[:-1]
+    f1 = f2 = f3 = None
+    if not fast_math:
+        f1 = pallas_local.precise_factors(n1)
+        f2 = pallas_local.precise_factors(m1)
+        f3 = pallas_local.precise_factors(m2)
+    r = re.reshape(*lead, n1, n2)
+    i = im.reshape(*lead, n1, n2)
+    # pass 1: level-1 twiddle factored as A[k1, j2//128] * B[k1, j2%128]
+    r, i = pallas_local.fft_axis(r, i, sign, axis=-2, tw_n=n,
+                                 tw_mode="factored", swap_store=True,
+                                 factors=f1, interpret=interpret)
+    # now (..., j2, k1) = (..., m1, m2*n1) viewing j2 = i1*m2 + i2
+    r = r.reshape(*lead, m1, m2 * n1)
+    i = i.reshape(*lead, m1, m2 * n1)
+    # pass 2: level-2 twiddle w_{n2}^(q1 * (t // n1)), mid-swap period n1
+    r, i = pallas_local.fft_axis(r, i, sign, axis=-2, tw_n=n2,
+                                 tw_mode="strided", tw_period=n1,
+                                 swap_mid=n1, factors=f2,
+                                 interpret=interpret)
+    # mid-swap output: (..., m2, m1, n1) = (i2, q1, k1)
+    r = r.reshape(*lead, m2, m1 * n1)
+    i = i.reshape(*lead, m2, m1 * n1)
+    # pass 3: plain col FFT over i2, postscale folded -> (q2, q1, k1)
+    r, i = pallas_local.fft_axis(r, i, sign, axis=-2, postscale=postscale,
+                                 factors=f3, interpret=interpret)
+    return r.reshape(*lead, n), i.reshape(*lead, n)
+
+
 def fft_axis_large(re, im, sign, *, axis, postscale: float = 1.0,
                    max_local: int | None = None,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, fast_math: bool = True):
     """Large-N DFT along the last axis of planar f32 arrays."""
     axis = axis % re.ndim
     assert axis == re.ndim - 1, "four-step global path covers the last axis"
     n = re.shape[-1]
     n1, n2 = choose_split(n, max_local)
     lead = re.shape[:-1]
+    f1 = f2 = None
+    if not fast_math:
+        f1 = pallas_local.precise_factors(n1)
+        f2 = pallas_local.precise_factors(n2)
     r3 = re.reshape(*lead, n1, n2)
     i3 = im.reshape(*lead, n1, n2)
     # pass 1: column FFTs over j1 + fused twiddle w_n^(k1*j2), stored
     # digit-swapped -> (..., j2, k1)
     r3, i3 = pallas_local.fft_axis(r3, i3, sign, axis=-2, tw_n=n,
-                                   swap_store=True, interpret=interpret)
+                                   swap_store=True, factors=f1,
+                                   interpret=interpret)
     # pass 2: column FFTs over j2 (now on sublanes, trail = k1), scale
     # folded into the store -> (..., k2, k1) = flattened DFT order
-    r3, i3 = pallas_local.fft_axis(r3, i3, sign, axis=-2,
+    r3, i3 = pallas_local.fft_axis(r3, i3, sign, axis=-2, factors=f2,
                                    postscale=postscale, interpret=interpret)
     return r3.reshape(*lead, n), i3.reshape(*lead, n)

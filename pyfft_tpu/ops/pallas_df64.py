@@ -39,7 +39,8 @@ from pyfft_tpu.ops.pallas_local import LANES, _interpret_default
 from pyfft_tpu.utils.radix import is_power_of_two
 
 __all__ = ["supported", "fft_axis_df64", "fft_axis_large_df64",
-           "MAX_LOCAL_N_DF64", "tile_fft_df64", "default_factors_df64"]
+           "MAX_LOCAL_N_DF64", "tile_fft_df64", "default_factors_df64",
+           "mxu_factors_df64"]
 # Compile-safety ceilings measured on v5e (the df64 butterfly chains hold
 # ~n*lanes-sized live values; Mosaic's register allocator spills them to
 # scoped VMEM, which blows the 128 MiB cap past these sizes):
@@ -58,12 +59,135 @@ def default_factors_df64(n: int) -> tuple[int, ...]:
     return (4,) * (p // 2)
 
 
+# ----------------------------------------------------------------------
+# int8-split exact MXU DFT stage (the c128 throughput fix, ROADMAP item 3)
+#
+# A factor f >= MXU_MIN_F runs as a DFT-matrix contraction on the MXU in
+# EXACT integer arithmetic: the df64 operand planes are decomposed into
+# 7-bit int8 channels against a per-tile power-of-two alignment, the
+# stacked complex DFT matrix into 8 channels of its 56 leading bits, and
+# the stage output is reassembled from int8 x int8 -> int32 matmuls
+# (grouped by combined shift) through TwoSum chains.  Validated numerics:
+# per-stage error ~3e-14 with 38 matmuls (benchmarks/proto_int8_df64.py).
+# ----------------------------------------------------------------------
+
+MXU_MIN_F = 32
+_B = 7                                              # bits per int8 channel
+_W_SHIFTS = tuple(_B * (i + 1) for i in range(8))   # W bits 1..56
+_HI_SHIFTS = tuple(_B * (i + 1) for i in range(8))  # hi bits 1..56
+_LO_SHIFTS = tuple(24 + _B * (i + 1) for i in range(5))  # lo bits 25..59
+_KEEP = 60                                          # max combined shift
+
+
+def mxu_factors_df64(n: int) -> tuple[int, ...]:
+    """Butterfly prefix + one 64-point int8-MXU tail (radix-2 late, per the
+    c64 probe calibration: 2-first chains measured slower)."""
+    p = n.bit_length() - 1
+    if p < 6:
+        return default_factors_df64(n)
+    r = p - 6
+    if r % 2:
+        return (4,) * (r // 2) + (2, 64)
+    return (4,) * (r // 2) + (64,)
+
+
+def int8_dft_table(f: int, sign: int) -> tuple[np.ndarray, ...]:
+    """The stacked complex DFT matrix [[Wr,-Wi],[Wi,Wr]] as 8 int8 channels
+    W = sum_k C_k 2^-shift_k (exact to 56 bits)."""
+    k = np.arange(f).reshape(-1, 1)
+    j = np.arange(f).reshape(1, -1)
+    ang = sign * 2.0 * np.pi * (k * j % f) / f
+    wr, wi = np.cos(ang), np.sin(ang)
+    ws = np.block([[wr, -wi], [wi, wr]])
+    chunks = []
+    r = ws.copy()
+    for s in _W_SHIFTS:
+        sh = 2.0 ** (-s)
+        c = np.clip(np.rint(r / sh), -127, 127)
+        r -= c * sh
+        chunks.append(c.astype(np.int8))
+    return tuple(chunks)
+
+
+def _exp2_f32(e):
+    """2^e for a (1, 1) int32 array e, |e| < 127, via exponent bitcast.
+    (Mosaic's tpu.bitcast only accepts vectors, so the tile exponent is
+    carried as a (1, 1) array, never a scalar.)"""
+    bits = (e + jnp.int32(127)) << 23
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.int32), jnp.float32)
+
+
+def _chunk_plane(p, m, shifts):
+    """Exact 7-bit int8 channels of plane ``p`` at tile alignment 2^m:
+    p ~= sum_k c_k 2^(m - shifts[k]) (progressive subtraction is exact)."""
+    out = []
+    r = p
+    for s in shifts:
+        sh = _exp2_f32(m - jnp.int32(s))
+        inv = _exp2_f32(jnp.int32(s) - m)
+        c = jnp.clip(jnp.round(r * inv), -127.0, 127.0)
+        r = r - c * sh
+        out.append(c.astype(jnp.int8))
+    return out
+
+
+def _mxu_stage_df64(x, f, axis, wch, sign):
+    """f-point DFT over ``axis`` of the df64 quad ``x`` via exact int8 MXU
+    products.  Output digit prepended at axis 0 (dot_general convention)."""
+    rh, rl, ih, il = x
+    a = jnp.maximum(jnp.abs(rh), jnp.abs(ih)).reshape(1, -1)
+    amax = jnp.max(a, axis=1, keepdims=True)                # (1, 1) f32
+    eb = (jax.lax.bitcast_convert_type(amax, jnp.int32) >> 23) & 0xFF
+    m = jnp.clip(eb - 126, -40, 120)    # 2^m >= amax, clamped for safety
+
+    # x channels: (int8 stacked [re; im] along ``axis``, shift)
+    channels = []
+    for cre, cim, s in zip(_chunk_plane(rh, m, _HI_SHIFTS),
+                           _chunk_plane(ih, m, _HI_SHIFTS),
+                           _HI_SHIFTS):
+        channels.append((jnp.concatenate([cre, cim], axis=axis), s))
+    for cre, cim, s in zip(_chunk_plane(rl, m, _LO_SHIFTS),
+                           _chunk_plane(il, m, _LO_SHIFTS),
+                           _LO_SHIFTS):
+        channels.append((jnp.concatenate([cre, cim], axis=axis), s))
+
+    dims = (((1,), (axis,)), ((), ()))
+    pairs: dict = {}
+    for wi, ws in enumerate(_W_SHIFTS):
+        for ci, (_, xs_) in enumerate(channels):
+            s = ws + xs_
+            if s <= _KEEP:
+                pairs.setdefault(s, []).append((wi, ci))
+
+    # iterate shift groups most-significant first so only ONE int32 partial
+    # is live at a time (VMEM); per-group int32 sums stay < 2^22 (proto
+    # bound 2.5e5), so the f32 conversion is exact
+    acc_h = acc_l = None
+    for s in sorted(pairs):
+        g = None
+        for wi, ci in pairs[s]:
+            y = jax.lax.dot_general(wch[wi], channels[ci][0], dims,
+                                    preferred_element_type=jnp.int32)
+            g = y if g is None else g + y
+        val = g.astype(jnp.float32) * _exp2_f32(m - jnp.int32(s))
+        if acc_h is None:
+            acc_h, acc_l = val, jnp.zeros_like(val)
+        else:
+            acc_h, acc_l = df_add(acc_h, acc_l, val, jnp.zeros_like(val))
+    return acc_h[:f], acc_l[:f], acc_h[f:], acc_l[f:]
+
+
 def needed_tables_df64(n: int, sign: int, factors=None) -> dict:
-    """{("tw", i, factors): (trh, trl, tih, til)} inter-stage twiddles."""
+    """{("tw", i, factors): (trh, trl, tih, til)} inter-stage twiddles,
+    plus ("wint8", f, sign): int8 DFT channels for MXU-stage factors."""
     factors = tuple(factors or default_factors_df64(n))
     assert math.prod(factors) == n
     tables: dict = {}
-    for i, f in enumerate(factors[:-1]):
+    for i, f in enumerate(factors):
+        if f >= MXU_MIN_F:
+            tables.setdefault(("wint8", f, sign), int8_dft_table(f, sign))
+        if i >= len(factors) - 1:
+            continue
         rest = factors[i + 1:]
         r = math.prod(rest)
         k = np.arange(f).reshape(-1, 1)
@@ -125,13 +249,20 @@ def _butterfly_df64(f, planes, axis, sign):
 
 
 def tile_fft_df64(planes, tables: dict, n: int, factors=None, sign=-1):
-    """Length-n DFT over axis 0 of (n, lanes) df64 planar quad."""
+    """Length-n DFT over axis 0 of (n, lanes) df64 planar quad.
+
+    Factors 2/4 run as exact VPU butterflies; factors >= MXU_MIN_F run as
+    exact int8-split DFT contractions on the MXU (both prepend the output
+    digit at axis 0, so they compose freely in one chain)."""
     lanes = planes[0].shape[-1]
     factors = tuple(factors or default_factors_df64(n))
     m = len(factors)
     x = tuple(p.reshape(*factors, lanes) for p in planes)
     for i, f in enumerate(factors):
-        x = _butterfly_df64(f, x, i, sign)
+        if f >= MXU_MIN_F:
+            x = _mxu_stage_df64(x, f, i, tables[("wint8", f, sign)], sign)
+        else:
+            x = _butterfly_df64(f, x, i, sign)
         if i < m - 1:
             trh, trl, tih, til = tables[("tw", i, factors)]
             x = df_cmul(x[0], x[1], x[2], x[3], trh, trl, tih, til)
@@ -318,18 +449,30 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
     n = rh.shape[axis]
     if interpret is None:
         interpret = _interpret_default()
+    factors = tuple(factors or default_factors_df64(n))
+    has_mxu = any(f >= MXU_MIN_F for f in factors)
     kw = dict(n=n, sign=sign, postscale=float(postscale),
-              interpret=bool(interpret),
-              factors=tuple(factors) if factors else None)
+              interpret=bool(interpret), factors=factors)
     shape = rh.shape
     if axis == rh.ndim - 1:
         assert not tw_n and not swap_store
         lead = shape[:-1]
         rows = math.prod(lead) if lead else 1
-        out = _fft_rows_df64(*(p.reshape(rows, n) for p in planes), **kw)
+        pad = (-rows) % LANES if has_mxu else 0
+        # the int8-MXU stage's per-tile alignment reads max|x| over the
+        # whole block; Pallas pads partial edge blocks with unspecified
+        # values, so MXU chains must see whole lane tiles only
+        ins = tuple(p.reshape(rows, n) for p in planes)
+        if pad:
+            ins = tuple(jnp.pad(p, ((0, pad), (0, 0))) for p in ins)
+        out = _fft_rows_df64(*ins, **kw)
+        if pad:
+            out = tuple(p[:rows] for p in out)
         return tuple(p.reshape(*lead, n) for p in out)
     lead = math.prod(shape[:axis]) if axis else 1
     trail = math.prod(shape[axis + 1:])
+    assert not (has_mxu and trail % LANES), \
+        "int8-MXU column pass needs a whole number of lane tiles"
     out = _fft_cols_df64(*(p.reshape(lead, n, trail) for p in planes),
                          tw_n=tw_n, swap_store=swap_store, **kw)
     if swap_store:

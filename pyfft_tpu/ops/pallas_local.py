@@ -91,6 +91,17 @@ def stage_cost(f: int) -> int:
     return 4 * f if f >= 64 else 16384 // f
 
 
+# Column-kernel factor overrides (scan-chain measured, v5e round 2):
+# at n=2048 the parity rule's 128-wide MXU stage makes the column kernel
+# compute-bound (1.56 ms vs 1.22 for a 32-wide stage on the 2^22 four-step
+# shape); the row kernel at the same n prefers the production chain.
+COL_FACTORS = {2048: (4, 4, 4, 32)}
+
+
+def col_factors(n: int) -> tuple[int, ...]:
+    return COL_FACTORS.get(n) or default_factors(n)
+
+
 @functools.lru_cache(maxsize=None)
 def default_factors(n: int) -> tuple[int, ...]:
     """TPU-calibrated factorization: radix-4 VPU butterflies in front of
@@ -120,6 +131,35 @@ def default_factors(n: int) -> tuple[int, ...]:
 # the 128x128 systolic array at <0.1% occupancy, while the butterfly is a
 # handful of f32 adds per element on the VPU — and exact (no bf16 passes).
 VPU_RADICES = (2, 4)
+
+# Largest axis for the butterfly-only (fast_math=False) factor chains: the
+# same compile-safety consideration as the df64 kernels' 2048 ceiling —
+# deep butterfly chains hold ~n*lanes live values that Mosaic spills.
+MAX_BUTTERFLY_N = 2048
+
+
+def butterfly_factors(n: int) -> tuple[int, ...]:
+    """All-butterfly factor chain (radix-4 with one leading 2 for odd log2).
+
+    The ``fast_math=False`` chain (reference: precise trig instead of
+    ``native_sin``/``native_cos`` — SURVEY.md §2.9-bis): every stage is an
+    exact VPU add/sub butterfly, so the only rounding is the f32 inter-stage
+    twiddle multiplies — no bf16 MXU passes anywhere.  Slower (VPU-bound)
+    but measurably more accurate than the MXU chains.
+    """
+    p = n.bit_length() - 1
+    if p % 2:
+        return (2,) + (4,) * (p // 2)
+    return (4,) * (p // 2)
+
+
+def precise_factors(n: int) -> tuple[int, ...] | None:
+    """Factor chain for fast_math=False, or None where the butterfly-only
+    chain is not compile-safe (n > MAX_BUTTERFLY_N: the default MXU chain,
+    which still holds the documented tolerance gate, is used instead)."""
+    if _MIN_N <= n <= MAX_BUTTERFLY_N and is_power_of_two(n):
+        return butterfly_factors(n)
+    return None
 
 
 def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
@@ -372,7 +412,8 @@ def _fft_rows_interleaved(v, *, n, sign, postscale, interpret,
 
 
 def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
-                         interpret: bool | None = None, alias_io=False):
+                         interpret: bool | None = None, factors=None,
+                         alias_io=False):
     """Public wrapper: v is a (..., 2n) f32 view of interleaved complex."""
     if interpret is None:
         interpret = _interpret_default()
@@ -381,19 +422,113 @@ def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
     rows = math.prod(lead) if lead else 1
     out = _fft_rows_interleaved(v.reshape(rows, 2 * n), n=n, sign=sign,
                                 postscale=float(postscale),
+                                factors=tuple(factors) if factors else None,
                                 interpret=bool(interpret), alias_io=alias_io)
     return out.reshape(*lead, 2 * n)
 
 
+def _row_swap_kernel(n, layout, postscale, factors, precision, stacked,
+                     sign, *refs):
+    """Row FFT with digit-swap store: reads a (lanes, n) row block, writes
+    the spectral (n, lanes) tile UNtransposed into a 3D output — the
+    four-step global path's final pass lands directly in (k2, k1) DFT
+    order with zero VPU output transpose."""
+    nt = sum(arity for _, arity in layout)
+    tables = {}
+    pos = 0
+    for k, arity in layout:
+        tables[k] = tuple(refs[pos + j][:] for j in range(arity))
+        pos += arity
+    re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
+    xr, xi = tile_fft(re_ref[:].T, im_ref[:].T, tables, n, factors,
+                      precision, stacked, sign)
+    if postscale != 1.0:
+        s = jnp.float32(postscale)
+        xr = xr * s
+        xi = xi * s
+    or_ref[0] = xr
+    oi_ref[0] = xi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sign", "postscale", "interpret", "factors", "precision", "stacked",
+    "lanes"))
+def _fft_rows_swap(re, im, *, sign, postscale, interpret,
+                   factors=None, precision=_PRECISION, stacked=True,
+                   lanes=LANES):
+    """FFT over axis -1 of (lead, n1, n) planar arrays, output (lead, n, n1).
+
+    The four-step pass-2 shape: reads contiguous (lanes, n) row blocks,
+    stores each spectral tile into the digit-swapped position, so the pass
+    is read-contiguous / write-strided (the transpose's unavoidable strided
+    side) with no in-kernel output transpose at all.
+    """
+    with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
+        lead, n1, n = re.shape
+        assert n1 % lanes == 0, (n1, lanes)
+        k = n1 // lanes
+        factors = tuple(factors or default_factors(n))
+        tables = needed_tables(n, sign, factors=factors, stacked=stacked)
+        layout = tuple((kk, len(v)) for kk, v in tables.items())
+        flat = [jnp.asarray(a) for v in tables.values() for a in v]
+        rows = lead * n1
+        grid = (rows // lanes,)
+        tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
+                              memory_space=pltpu.VMEM) for a in flat]
+        dspec = pl.BlockSpec((lanes, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, n, lanes), lambda i: (i // k, 0, i % k),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_row_swap_kernel, n, layout, postscale,
+                                 factors, precision, stacked, sign)
+        oshape = jax.ShapeDtypeStruct((lead, n, n1), jnp.float32)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=tspec + [dspec, dspec],
+            out_specs=(ospec, ospec),
+            out_shape=(oshape, oshape),
+            cost_estimate=pl.CostEstimate(
+                flops=8 * n * sum(factors) * lanes * grid[0],
+                bytes_accessed=rows * n * 4 * 4,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(*flat, re.reshape(rows, n), im.reshape(rows, n))
+
+
+def fft_rows_swap(re, im, sign, *, postscale: float = 1.0,
+                  interpret: bool | None = None, factors=None,
+                  lanes: int = LANES):
+    """Public wrapper: (..., n1, n) -> (..., n, n1) row FFT + digit swap."""
+    if interpret is None:
+        interpret = _interpret_default()
+    *lead, n1, n = re.shape
+    L = math.prod(lead) if lead else 1
+    rr, ii = _fft_rows_swap(re.reshape(L, n1, n), im.reshape(L, n1, n),
+                            sign=sign, postscale=float(postscale),
+                            interpret=bool(interpret),
+                            factors=tuple(factors) if factors else None,
+                            lanes=lanes)
+    oshape = (*lead, n, n1)
+    return rr.reshape(oshape), ii.reshape(oshape)
+
+
 def _col_kernel(n, layout, postscale, factors, precision, stacked,
-                has_tw, swap, sign, *refs):
+                tw_kind, tw_qdiv, swap, swap_mid, sign, *refs):
     nt = sum(arity for _, arity in layout)
     table_refs = refs[:nt]
     pos = nt
-    twr_ref = twi_ref = None
-    if has_tw:
+    twr_ref = twi_ref = tbr_ref = tbi_ref = None
+    if tw_kind == "full" or tw_kind == "strided":
         twr_ref, twi_ref = refs[pos], refs[pos + 1]
         pos += 2
+    elif tw_kind == "factored":
+        twr_ref, twi_ref, tbr_ref, tbi_ref = refs[pos:pos + 4]
+        pos += 4
     re_ref, im_ref, or_ref, oi_ref = refs[pos:pos + 4]
     tables = {}
     tpos = 0
@@ -404,11 +539,33 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
     # no transposes at all (the advantage of column passes on TPU).
     xr, xi = tile_fft(re_ref[0], im_ref[0], tables, n, factors, precision,
                       stacked, sign)
-    if has_tw:
+    if tw_kind == "full":
         # fused inter-pass twiddle of the four-step global path:
         # T[k, j2] with j2 = this tile's lane slice
         twr = twr_ref[:]
         twi = twi_ref[:]
+        xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
+    elif tw_kind == "strided":
+        # twiddle constant across each lane tile: one column of the
+        # transposed-resident (Q, n) table, selected by the grid index and
+        # broadcast over lanes (the multi-level inner-pass form, where the
+        # twiddle index advances every ``period`` trail elements).  The
+        # table stays whole in VMEM: Mosaic rejects (n, 1) blocks, and a
+        # sublane-dim dynamic slice of the transposed table is free.
+        q = pl.program_id(1) // tw_qdiv
+        twr = twr_ref[pl.ds(q, 1), :].T        # (n, 1)
+        twi = twi_ref[pl.ds(q, 1), :].T
+        xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
+    elif tw_kind == "factored":
+        # T[k, q*lanes + r] = A[k, q] * B[k, r]: the (n, T) table of a huge
+        # global transform factored into a transposed-resident (T/lanes, n)
+        # column stream plus one (n, lanes) tile — O(n*T/128) memory
+        q = pl.program_id(1)
+        ar = twr_ref[pl.ds(q, 1), :].T          # (n, 1)
+        ai = twi_ref[pl.ds(q, 1), :].T
+        br, bi = tbr_ref[:], tbi_ref[:]
+        twr = ar * br - ai * bi
+        twi = ar * bi + ai * br
         xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
     if postscale != 1.0:
         s = jnp.float32(postscale)
@@ -422,6 +579,13 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
         # of a full HBM round trip).
         or_ref[0] = xr.T
         oi_ref[0] = xi.T
+    elif swap_mid:
+        # mid-swap store: the tile lands untransposed at [L, t//P, :, t%P]
+        # of a (L, T/P, n, P) output — exchanging the transform digit with
+        # only the *leading* part of the trail (the multi-level four-step's
+        # digit-reorder, free at store time, zero VPU transposes)
+        or_ref[0, 0] = xr
+        oi_ref[0, 0] = xi
     else:
         or_ref[0] = xr
         oi_ref[0] = xi
@@ -429,32 +593,48 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes", "tw_n", "swap_store", "alias_io"))
+    "lanes", "tw_n", "tw_mode", "tw_period", "swap_store", "swap_mid",
+    "alias_io"))
 def _fft_cols(re, im, *, n, sign, postscale, interpret,
               factors=None, precision=_PRECISION, stacked=True, lanes=LANES,
-              tw_n: int = 0, swap_store: bool = False, alias_io=False):
+              tw_n: int = 0, tw_mode: str = "full", tw_period: int = 0,
+              swap_store: bool = False, swap_mid: int = 0, alias_io=False):
     """FFT over axis 1 of (L, n, T) planar arrays (column kernel).
 
     ``tw_n``: if nonzero, multiply the spectral output elementwise by the
-    four-step twiddle T[k, j] = w_{tw_n}^(k*j) with j the global position
-    along the trailing axis — fusing the inter-pass twiddle of a length
-    ``tw_n`` global transform into this pass for free.
+    four-step twiddle T[k, g(j)] = w_{tw_n}^(k*g(j)) with j the global
+    position along the trailing axis.  ``tw_period`` selects g:
+
+    * "full" (default): g(j) = j via a full (n, T) table — the
+      single-level four-step form;
+    * "factored": g(j) = j with the table FACTORED as A[k, j//lanes] *
+      B[k, j%lanes] — O(n*T/lanes) memory, for huge-N level-1 twiddles;
+    * "strided" (with ``tw_period``, a multiple of ``lanes``):
+      g(j) = j // tw_period via an (n, T/tw_period) column-streamed
+      table — the multi-level inner-pass twiddle, constant across each
+      lane tile.
 
     ``swap_store``: write the output with the last two axes exchanged —
     result shape (L, T, n).  Used by the four-step global path to absorb
     its digit-swap transpose into this pass's store.
+
+    ``swap_mid`` (= P > 0, P a multiple of ``lanes`` dividing T): store to
+    a (L, T//P, n, P) output — the transform digit is exchanged with only
+    the leading T//P part of the trail, landing multi-level digits in
+    final DFT order with zero VPU transposes.
     """
     with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
         return _fft_cols_inner(re, im, n=n, sign=sign, postscale=postscale,
                                interpret=interpret, factors=factors,
                                precision=precision, stacked=stacked,
-                               lanes=lanes, tw_n=tw_n, swap_store=swap_store,
-                               alias_io=alias_io)
+                               lanes=lanes, tw_n=tw_n, tw_mode=tw_mode,
+                               tw_period=tw_period, swap_store=swap_store,
+                               swap_mid=swap_mid, alias_io=alias_io)
 
 
 def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
-                    factors, precision, stacked, lanes, tw_n, swap_store,
-                    alias_io):
+                    factors, precision, stacked, lanes, tw_n, tw_mode,
+                    tw_period, swap_store, swap_mid, alias_io):
     L, _, T = re.shape
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked)
@@ -464,22 +644,61 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
     tspec = [pl.BlockSpec(a.shape, lambda i, j, _nd=a.ndim: (0,) * _nd,
                           memory_space=pltpu.VMEM) for a in flat]
     extra = []
-    if tw_n:
+    tw_kind = None
+    if tw_n and tw_mode == "full":
+        tw_kind = "full"
         twr, twi = twiddle_table(n, T, tw_n, sign)
         extra = [jnp.asarray(twr), jnp.asarray(twi)]
         tspec = tspec + [pl.BlockSpec((n, lanes), lambda i, j: (0, j),
                                       memory_space=pltpu.VMEM)] * 2
+    elif tw_n and tw_mode == "factored":
+        tw_kind = "factored"
+        from pyfft_tpu.ops.twiddle import twiddle_table_strided
+        ar, ai = twiddle_table_strided(n, T // lanes, tw_n, sign, lanes)
+        br, bi = twiddle_table(n, lanes, tw_n, sign)
+        # A stored transposed (T/lanes, n) and resident whole: Mosaic
+        # rejects (n, 1) minor-dim blocks; the kernel slices row q instead
+        extra = [jnp.asarray(ar.T.copy()), jnp.asarray(ai.T.copy()),
+                 jnp.asarray(br), jnp.asarray(bi)]
+        tspec = tspec + [pl.BlockSpec((T // lanes, n),
+                                      lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 2 \
+                      + [pl.BlockSpec((n, lanes), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+    elif tw_n:
+        assert tw_mode == "strided", tw_mode
+        tw_kind = "strided"
+        assert tw_period % lanes == 0 and T % tw_period == 0, \
+            (tw_period, lanes, T)
+        from pyfft_tpu.ops.twiddle import twiddle_table_strided
+        ar, ai = twiddle_table_strided(n, T // tw_period, tw_n, sign, 1)
+        extra = [jnp.asarray(ar.T.copy()), jnp.asarray(ai.T.copy())]
+        tspec = tspec + [pl.BlockSpec((T // tw_period, n),
+                                      lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 2
     dspec = pl.BlockSpec((1, n, lanes), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
     if swap_store:
+        assert not swap_mid
         ospec = pl.BlockSpec((1, lanes, n), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((L, T, n), jnp.float32)
+    elif swap_mid:
+        assert swap_mid % lanes == 0 and T % swap_mid == 0, (swap_mid, T)
+        kq = swap_mid // lanes
+        ospec = pl.BlockSpec(
+            (1, 1, n, lanes),
+            lambda i, j, _k=kq: (i, j // _k, 0, j % _k),
+            memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((L, T // swap_mid, n, swap_mid),
+                                      jnp.float32)
     else:
         ospec = dspec
         oshape = jax.ShapeDtypeStruct((L, n, T), jnp.float32)
+    tw_qdiv = max(1, tw_period // lanes) if tw_kind == "strided" else 1
     kern = functools.partial(_col_kernel, n, layout, postscale, factors,
-                             precision, stacked, bool(tw_n), swap_store, sign)
+                             precision, stacked, tw_kind, tw_qdiv,
+                             swap_store, bool(swap_mid), sign)
     # in-place aliasing only when blocks map 1:1 (not the digit-swap store,
     # whose output block lives at a different offset than its input block)
     nd = len(tspec)
@@ -651,7 +870,8 @@ def supported(re, axis: int) -> bool:
 def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
              interpret: bool | None = None, factors=None,
              precision: str = _PRECISION, stacked: bool = True,
-             lanes: int = LANES, tw_n: int = 0, swap_store: bool = False,
+             lanes: int = LANES, tw_n: int = 0, tw_mode: str = "full",
+             tw_period: int = 0, swap_store: bool = False, swap_mid: int = 0,
              alias_io: bool = False):
     """DFT along ``axis`` of planar f32 arrays.
 
@@ -683,10 +903,21 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
         return rr.reshape(*lead, n), ii.reshape(*lead, n)
     lead = math.prod(shape[:axis]) if axis else 1
     trail = math.prod(shape[axis + 1:])
+    if kw["factors"] is None:
+        kw["factors"] = col_factors(n)     # measured col-kernel chains
+    if (lanes == LANES and n <= 512 and trail % 256 == 0
+            and not tw_n and not swap_store and not swap_mid):
+        # small-n column blocks are per-step-overhead-bound; doubling the
+        # lane tile measured +36% on the 3D z-pass (probe_col8)
+        kw["lanes"] = 256
     rr, ii = _fft_cols(re.reshape(lead, n, trail),
                        im.reshape(lead, n, trail), tw_n=tw_n,
-                       swap_store=swap_store, **kw)
+                       tw_mode=tw_mode, tw_period=tw_period,
+                       swap_store=swap_store, swap_mid=swap_mid, **kw)
     if swap_store:
         oshape = shape[:axis] + shape[axis + 1:] + (n,)
+        return rr.reshape(oshape), ii.reshape(oshape)
+    if swap_mid:
+        oshape = shape[:axis] + (trail // swap_mid, n, swap_mid)
         return rr.reshape(oshape), ii.reshape(oshape)
     return rr.reshape(shape), ii.reshape(shape)

@@ -24,7 +24,8 @@ import functools
 
 import numpy as np
 
-__all__ = ["dft_matrix", "twiddle_table", "FORWARD", "INVERSE"]
+__all__ = ["dft_matrix", "twiddle_table", "twiddle_table_strided",
+           "FORWARD", "INVERSE"]
 
 FORWARD = -1
 INVERSE = +1
@@ -61,3 +62,17 @@ def twiddle_table(rows: int, cols: int, n: int, sign: int, dtype=np.float32) -> 
     """
     tr, ti = _phase_table(rows, cols, n, sign)
     return tr.astype(dtype), ti.astype(dtype)
+
+
+def twiddle_table_strided(rows: int, cols: int, n: int, sign: int,
+                          col_stride: int, dtype=np.float32):
+    """T[a, b] = exp(sign * 2*pi*i * a*(b*col_stride) / n), phases reduced
+    exactly in int64.  The column stream of a factored huge-N twiddle:
+    T_full[a, q*col_stride + r] = T_strided[a, q] * T_full[a, r]."""
+    r = np.arange(rows, dtype=np.int64)[:, None]
+    c = (np.arange(cols, dtype=np.int64) * col_stride) % n
+    k = (r * c[None, :]) % n
+    theta = (2.0 * np.pi / n) * k.astype(np.float64)
+    if sign < 0:
+        theta = -theta
+    return np.cos(theta).astype(dtype), np.sin(theta).astype(dtype)

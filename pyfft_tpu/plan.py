@@ -101,6 +101,11 @@ class Plan:
         # which overwrote the input GPU buffer.  Device-array inputs are
         # invalidated after the call.
         self.donate = bool(donate)
+        if _on_tpu():
+            # persist compiled kernels across processes: cold Mosaic compiles
+            # through this environment's shared service can take minutes
+            from pyfft_tpu.utils.cache import enable_compile_cache
+            enable_compile_cache()
         self._exec_plan: ExecPlan = build_plan(
             self.shape, self.dtype, on_tpu=_on_tpu() and not force_xla)
         self._jit_cache: dict = {}
@@ -119,8 +124,13 @@ class Plan:
         if p.executor == "fused2d" and not self._force_xla:
             from pyfft_tpu.ops import pallas_local
             if pallas_local.supported_2d(re):
+                fy = fx = None
+                if not self.fast_math:
+                    fy = pallas_local.precise_factors(re.shape[-2])
+                    fx = pallas_local.precise_factors(re.shape[-1])
                 rr, ii = pallas_local.fft2_fused(re, im, sign,
                                                  postscale=postscale,
+                                                 factors_y=fy, factors_x=fx,
                                                  alias_io=self.donate)
                 return rr, ii, True
             # fallback: two XLA passes over the covered axes
@@ -130,15 +140,26 @@ class Plan:
         if p.executor == "local" and not self._force_xla:
             from pyfft_tpu.ops import pallas_local
             if pallas_local.supported(re, axis):
+                factors = (None if self.fast_math
+                           else pallas_local.precise_factors(re.shape[axis]))
                 rr, ii = pallas_local.fft_axis(re, im, sign, axis=axis,
                                                postscale=postscale,
+                                               factors=factors,
                                                alias_io=self.donate)
                 return rr, ii, True
         if p.executor == "fourstep" and not self._force_xla:
             from pyfft_tpu.ops import fourstep
             if fourstep.supported(re, axis):
                 rr, ii = fourstep.fft_axis_large(re, im, sign, axis=axis,
-                                                 postscale=postscale)
+                                                 postscale=postscale,
+                                                 fast_math=self.fast_math)
+                return rr, ii, True
+        if p.executor == "huge" and not self._force_xla:
+            from pyfft_tpu.ops import fourstep
+            if fourstep.supported_huge(re, axis):
+                rr, ii = fourstep.fft_axis_huge(re, im, sign, axis=axis,
+                                                postscale=postscale,
+                                                fast_math=self.fast_math)
                 return rr, ii, True
         # XLA fallback: the recursive planar matmul path (covers f64, tiny
         # sizes, non-TPU backends, and axes the kernels don't take yet).
@@ -257,8 +278,11 @@ class Plan:
                     n = v.shape[-1] // 2
                     probe = jax.ShapeDtypeStruct(v.shape[:-1] + (n,), v.dtype)
                     if pallas_local.supported(probe, v.ndim - 1):
+                        factors = (None if self.fast_math
+                                   else pallas_local.precise_factors(n))
                         return pallas_local.fft_rows_interleaved(
-                            v, sign, postscale=norm, alias_io=self.donate)
+                            v, sign, postscale=norm, factors=factors,
+                            alias_io=self.donate)
                 pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
                 re, im = pairs[..., 0], pairs[..., 1]
                 re, im = run_planar(re, im)

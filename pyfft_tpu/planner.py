@@ -38,7 +38,7 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 # f32.  Below this the XLA path wins on launch overhead alone.
 _MIN_BATCH_TILE = 8
 
-Executor = Literal["xla", "local", "fourstep", "fused2d"]
+Executor = Literal["xla", "local", "fourstep", "huge", "fused2d"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +134,17 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
         n = shape[axis]
         if kernels_ok and _local_fits(n, itemsize) and n <= max_local_n:
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
+        elif (pallas_ok and axis == ndim - 1
+              and n > max_local_n * max_local_n):
+            # beyond one four-step level: the two-level (six-step) chain
+            # (c64 only; c128 huge sizes exceed HBM anyway)
+            from pyfft_tpu.ops.fourstep import choose_split3
+            try:
+                choose_split3(n, max_local_n)
+            except ValueError:
+                passes.append(AxisPass(axis=axis, n=n, executor="xla"))
+                continue
+            passes.append(AxisPass(axis=axis, n=n, executor="huge"))
         elif (kernels_ok and axis == ndim - 1
               and max_local_n < n <= max_local_n * max_local_n):
             # Beyond one VMEM tile: four-step through HBM.  The recorded

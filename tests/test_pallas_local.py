@@ -132,3 +132,33 @@ def test_interleaved_fused_kernel(n, rows):
         np.ascontiguousarray(out).view(np.float32), +1,
         postscale=1.0 / n)).view(np.complex64)
     assert rel_err(back, x) < TOL[np.complex64]
+
+
+def test_row_swap_store():
+    """Row kernel with digit-swap store (four-step pass 2): the spectral
+    tile lands untransposed at the swapped position -> (lead, n, n1)."""
+    import jax.numpy as jnp
+    x = rand_complex((2, 256, 512), seed=77)
+    rr, ii = pallas_local.fft_rows_swap(
+        jnp.asarray(x.real), jnp.asarray(x.imag), -1, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.transpose(np.fft.fft(x.astype(np.complex128), axis=-1),
+                       (0, 2, 1))
+    assert got.shape == (2, 512, 256)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_fourstep_variant_b_parity():
+    """col+tw (no swap) then row+swap-store == the full DFT in order."""
+    import jax.numpy as jnp
+    n1, n2 = 256, 512
+    n = n1 * n2
+    x = rand_complex((2, n), seed=78)
+    r = jnp.asarray(x.real.reshape(2, n1, n2))
+    i = jnp.asarray(x.imag.reshape(2, n1, n2))
+    r, i = pallas_local.fft_axis(r, i, -1, axis=-2, tw_n=n, interpret=True)
+    r, i = pallas_local.fft_rows_swap(r, i, -1, postscale=2.0,
+                                      interpret=True)
+    got = (np.asarray(r) + 1j * np.asarray(i)).reshape(2, n)
+    ref = 2.0 * np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]

@@ -325,3 +325,66 @@ def test_df64_fallback_to_xla(monkeypatch):
     got = np.asarray(rr) + 1j * np.asarray(ii)
     ref = np.fft.fftn(x)
     assert rel_err(got, ref) < 1e-12
+
+
+def test_fast_math_selects_chains(monkeypatch):
+    """fast_math=True -> MXU default chains; fast_math=False -> exact VPU
+    butterfly chains (the reference's precise-trig mode, SURVEY §2.9-bis).
+    Both must hold the c64 tolerance gate; the selected factor chains must
+    actually differ (VERDICT round-1 item 7: the flag was inert)."""
+    import jax.numpy as jnp
+
+    import pyfft_tpu.plan as planmod
+    from pyfft_tpu.ops import pallas_local
+
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    seen = []
+    orig = pallas_local.fft_axis
+
+    def spy(re, im, sign, **kw):
+        seen.append(kw.get("factors"))
+        return orig(re, im, sign, **kw)
+
+    monkeypatch.setattr(pallas_local, "fft_axis", spy)
+    x = rand_complex((8, 1024), seed=40)
+    re, im = jnp.asarray(x.real), jnp.asarray(x.imag)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+
+    rr, ii = Plan((1024,), fast_math=True).execute(re, im)
+    assert seen[-1] is None          # calibrated MXU chain
+    assert rel_err(np.asarray(rr) + 1j * np.asarray(ii), ref) \
+        < TOL[np.complex64]
+
+    rr, ii = Plan((1024,), fast_math=False).execute(re, im)
+    assert seen[-1] == pallas_local.butterfly_factors(1024) == (4,) * 5
+    assert rel_err(np.asarray(rr) + 1j * np.asarray(ii), ref) \
+        < TOL[np.complex64]
+
+
+def test_fast_math_false_large_n_still_works(monkeypatch):
+    """Above MAX_BUTTERFLY_N the precise chain falls back to the default
+    (still within the documented gate) instead of an unsafe compile."""
+    from pyfft_tpu.ops import pallas_local
+
+    assert pallas_local.precise_factors(2048) == (2,) + (4,) * 5
+    assert pallas_local.precise_factors(4096) is None
+    x = rand_complex((4, 4096), seed=41)
+    out = Plan((4096,), fast_math=False).execute(x)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(out, ref) < TOL[np.complex64]
+
+
+def test_warmup_compiles(tmp_path, monkeypatch):
+    """pyfft_tpu.warmup precompiles plan executables (and the persistent
+    compile cache engages) — VERDICT round-1 item 5."""
+    import pyfft_tpu
+    import pyfft_tpu.utils.cache as cachemod
+
+    monkeypatch.setattr(cachemod, "_enabled", False)
+    monkeypatch.setenv("PYFFT_TPU_CACHE_DIR", str(tmp_path / "xc"))
+    n = pyfft_tpu.warmup([64, (32, 32)], batches=(1, 4))
+    assert n == 2 * 2 * 2  # shapes x batches x directions
+    x = rand_complex((4, 64), seed=50)
+    out = Plan((64,)).execute(x)
+    assert rel_err(out, np.fft.fft(x.astype(np.complex128), axis=-1)) \
+        < TOL[np.complex64]

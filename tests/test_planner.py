@@ -65,10 +65,11 @@ def test_tpu_c128_df64():
     assert kinds(p) == ["xla"]
 
 
-def test_huge_axis_xla_fallback():
-    """Beyond MAX_LOCAL_N^2 falls back to the recursive XLA path."""
+def test_huge_axis_two_level():
+    """Beyond MAX_LOCAL_N^2 the c64 path schedules the two-level (six-step)
+    chain (round 1 fell back to XLA here; VERDICT item 6)."""
     p = build_plan((1 << 27,), np.complex64, on_tpu=True)
-    assert kinds(p) == ["xla"]
+    assert kinds(p) == ["huge"]
 
 
 def test_total_n():
