@@ -89,10 +89,16 @@ def parity(fn1, bshape, shape, dtype, check_rows=2, seed=1):
 
 def run_config(name, shape, batch, dtype, iters=10):
     from pyfft_tpu.plan import Plan
+    from pyfft_tpu.utils.profiling import time_scan_chain
 
     # donate: reuse buffers like the reference's in-place execute — config 5
-    # (8 GiB of planes) needs it on a 16 GiB chip
-    plan = Plan(shape, dtype, donate=(np.dtype(dtype).itemsize == 16))
+    # (8 GiB of planes) needs it on a 16 GiB chip; all-local plans donate so
+    # the in-jit scan-chain estimator needs no carry copies
+    exec_probe = Plan(shape, dtype)._exec_plan
+    all_local = all(p.executor in ("local", "fused2d")
+                    for p in exec_probe.passes)
+    plan = Plan(shape, dtype,
+                donate=(np.dtype(dtype).itemsize == 16) or all_local)
     real_dt = jnp.float32 if dtype == np.complex64 else jnp.float64
 
     # Host-level batch sweep for workloads whose in+out planes exceed what
@@ -120,7 +126,21 @@ def run_config(name, shape, batch, dtype, iters=10):
     if sweep > 1:
         print(f"   [{name}: swept as {sweep} x batch={sub} "
               f"(device program cap)]", flush=True)
-    dt = bench(fn, fresh, k2=iters)
+    if all_local and sweep == 1:
+        # shape-preserving donated passes: the in-jit scan chain is immune
+        # to tunnel congestion (one dispatch per measurement).  Time a
+        # scale=1/sqrt(N) twin plan (identical kernels; Parseval keeps the
+        # chained magnitudes stationary — no f32 overflow down the chain).
+        tplan = Plan(shape, dtype, scale=1.0 / math.sqrt(math.prod(shape)),
+                     donate=True)
+        tfn = tplan._get_callable(bshape, False, "planar")
+        args = fresh()[0]
+        # long chains amortize endpoint latency (the tunnel's congestion
+        # floor drifts by 2x between hours; a 64-iteration chain buries it)
+        dt = time_scan_chain(tfn, args, ka=8, kb=max(24, 3 * iters),
+                             trials=6)
+    else:
+        dt = bench(fn, fresh, k2=iters)
     n = math.prod(shape)
     gf = 5 * n * math.log2(n) * batch / dt / 1e9
     err = parity(fn1, bshape, shape, dtype)

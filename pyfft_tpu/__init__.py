@@ -6,12 +6,14 @@ single/double precision, interleaved and split complex storage, behind the
 same ``Plan(shape).execute(data)`` surface.
 """
 
-VERSION = (0, 2, 0)
+VERSION = (0, 3, 0)
 __version__ = ".".join(map(str, VERSION))
 
 from pyfft_tpu.plan import Plan
 from pyfft_tpu.api import fft, ifft, fft2, ifft2, fftn, ifftn
 from pyfft_tpu.utils.cache import enable_compile_cache, warmup
+from pyfft_tpu.real import rfft, irfft
 
 __all__ = ["Plan", "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-           "enable_compile_cache", "warmup", "VERSION", "__version__"]
+           "rfft", "irfft", "enable_compile_cache", "warmup",
+           "VERSION", "__version__"]
