@@ -56,11 +56,21 @@ def df64_const(x) -> tuple[np.ndarray, np.ndarray]:
 # ----------------------------------------------------- error-free building
 
 def two_sum(a, b):
-    """s + e == a + b exactly (Knuth; no magnitude assumption). 6 flops."""
+    """s + e == a + b exactly, branch-based (|.|-ordered quick_two_sum).
+
+    The classic branchless Knuth form (bb = s - a; e = (a-(s-bb)) + (b-bb))
+    is algebraically simplified by XLA's HLO passes under fusion — the
+    rewrite is only float-valid when |a| >= |b|, silently costing ~2^-24 in
+    fused df64 programs (isolated in round 2: butterfly+twiddle chains
+    drifted 2.4e-7 under CPU jit, exact eagerly).  Selecting the larger
+    operand explicitly is rewrite-immune and exact for any magnitudes.
+    7 ops (2 abs, 1 cmp, 2 select, 2 add/sub).
+    """
     s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
-    return s, e
+    swap = jnp.abs(b) > jnp.abs(a)
+    big = jnp.where(swap, b, a)
+    small = jnp.where(swap, a, b)
+    return s, small - (s - big)
 
 
 def quick_two_sum(a, b):

@@ -36,7 +36,8 @@ from pyfft_tpu.ops.twiddle import dft_matrix
 from pyfft_tpu.reference import fft_planar
 from pyfft_tpu.utils.radix import is_power_of_two
 
-__all__ = ["dist_fft_1d", "make_dist_fft", "make_dist_fft2"]
+__all__ = ["dist_fft_1d", "make_dist_fft", "make_dist_fft2",
+           "make_dist_fft3", "make_dist_fft_df64"]
 
 
 def _local_fft(re, im, sign):
@@ -197,6 +198,172 @@ def make_dist_fft2(mesh: Mesh, shape: tuple[int, int], *,
     mapped = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
                            out_specs=(spec, spec), check_vma=False)
     return jax.jit(mapped)
+
+
+def _dist_fft3_body(re, im, *, sign: int, seq_axis: str, norm: float):
+    """shard_map body for 3D: local blocks (..., nz/S, ny, nx).
+
+    1. local 2D FFT over (ny, nx) per z-slice (the fused2d kernel when the
+       tile fits, else two local axis passes)
+    2. all_to_all: nx becomes sharded, nz local (the ICI transpose)
+    3. local column FFT over nz, normalization folded in
+    4. all_to_all back to the input layout
+    """
+    def a2a(x, split, concat):
+        return jax.lax.all_to_all(x, seq_axis, split_axis=split % x.ndim,
+                                  concat_axis=concat % x.ndim, tiled=True)
+
+    from pyfft_tpu.ops import pallas_local
+
+    if pallas_local.supported_2d(re):
+        re, im = pallas_local.fft2_fused(re, im, sign)
+    else:
+        re, im = fft_planar(re, im, sign, axis=re.ndim - 1)
+        re, im = fft_planar(re, im, sign, axis=re.ndim - 2)
+
+    re, im = a2a(re, -1, -3), a2a(im, -1, -3)     # (..., nz, ny, nx/S)
+    if pallas_local.supported(re, re.ndim - 3):
+        re, im = pallas_local.fft_axis(re, im, sign, axis=re.ndim - 3,
+                                       postscale=norm)
+    else:
+        re, im = fft_planar(re, im, sign, axis=re.ndim - 3)
+        if norm != 1.0:
+            c = re.dtype.type(norm)
+            re, im = re * c, im * c
+    re, im = a2a(re, -3, -1), a2a(im, -3, -1)     # (..., nz/S, ny, nx)
+    return re, im
+
+
+def make_dist_fft3(mesh: Mesh, shape: tuple[int, int, int], *,
+                   batch_axis: str = "dp", seq_axis: str = "sp",
+                   sign: int = -1, normalize: bool = False):
+    """Build a jitted distributed 3D FFT over ``mesh``.
+
+    Input/output: planar (re, im) arrays of shape (B, nz, ny, nx), batch
+    sharded over ``batch_axis`` and the nz axis over ``seq_axis``.  The
+    (ny, nx) planes transform fully locally per z-slice; one ``all_to_all``
+    each way moves the z axis on/off the chip boundary for its column pass
+    — the multi-chip analog of the single-chip fused2d + z-column schedule.
+    """
+    nz, ny, nx = shape
+    for d in shape:
+        if not is_power_of_two(d):
+            raise ValueError(f"shape {shape} must be powers of two")
+    s = mesh.shape[seq_axis]
+    if nz % s or nx % s:
+        raise ValueError(f"nz and nx of {shape} must be divisible by "
+                         f"seq parallelism {s}")
+    norm = (1.0 / math.prod(shape)) if (normalize and sign > 0) else 1.0
+    spec = P(batch_axis, seq_axis, None, None)
+    body = functools.partial(_dist_fft3_body, sign=sign, seq_axis=seq_axis,
+                             norm=norm)
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=(spec, spec), check_vma=False)
+    return jax.jit(mapped)
+
+
+def _dist_fft_df64_body(rh, rl, ih, il, twq, *, sign: int, n: int, s: int,
+                        seq_axis: str, norm: float):
+    """shard_map body for the distributed complex128 (double-float) FFT.
+
+    Same six-step structure as ``_dist_fft_body``, in df64 arithmetic:
+    the cross-device S-point DFT unrolls as df64 complex MACs against
+    host-exact df64 constants, and the inter-factor twiddle arrives as a
+    pre-sharded host-exact df64 table (f32 device trig would cap accuracy
+    at ~2^-24, far above the c128 gate).
+    """
+    from pyfft_tpu.ops.df64 import df64_const, df_add, df_cmul, df_scale_pow2
+    from pyfft_tpu.ops.pallas_df64 import fft_axis_df64
+
+    L = n // s
+
+    def a2a(x, split, concat):
+        return jax.lax.all_to_all(x, seq_axis, split_axis=split % x.ndim,
+                                  concat_axis=concat % x.ndim, tiled=True)
+
+    lead = rh.shape[:-1]
+    q = tuple(a2a(p[..., None, :], -1, -2) for p in (rh, rl, ih, il))
+
+    # S-point DFT over j1 (axis -2), unrolled df64 complex MACs
+    out = []
+    for k in range(s):
+        acc = None
+        for j in range(s):
+            ang = (sign * 2.0 * math.pi * ((k * j) % s)) / s
+            wrh, wrl = df64_const(np.float64(math.cos(ang)))
+            wih, wil = df64_const(np.float64(math.sin(ang)))
+            xq = tuple(p[..., j, :] for p in q)
+            term = df_cmul(xq[0], xq[1], xq[2], xq[3],
+                           jnp.float32(wrh), jnp.float32(wrl),
+                           jnp.float32(wih), jnp.float32(wil))
+            if acc is None:
+                acc = term
+            else:
+                rr = df_add(acc[0], acc[1], term[0], term[1])
+                ii = df_add(acc[2], acc[3], term[2], term[3])
+                acc = rr + ii
+        out.append(acc)
+    c = tuple(jnp.stack([o[p] for o in out], axis=-2) for p in range(4))
+
+    # twiddle w_N^(k1 * j2_global): host-exact df64 table, sharded to this
+    # device's (s, L/s) tile
+    c = df_cmul(c[0], c[1], c[2], c[3], twq[0], twq[1], twq[2], twq[3])
+
+    # full j2 range for this device's k1
+    e = tuple(a2a(p, -2, -1).reshape(*lead, L) for p in c)
+
+    # heavy on-chip df64 factor
+    f = fft_axis_df64(e, sign, axis=-1)
+
+    # strided k -> contiguous shards + local interleave
+    g = tuple(a2a(p.reshape(*lead, s, L // s), -2, -1) for p in f)
+    g = tuple(jnp.swapaxes(p.reshape(*lead, s, L // s), -1, -2)
+              .reshape(*lead, L) for p in g)
+    if norm != 1.0:
+        rh2, rl2 = df_scale_pow2(g[0], g[1], norm)
+        ih2, il2 = df_scale_pow2(g[2], g[3], norm)
+        g = (rh2, rl2, ih2, il2)
+    return g
+
+
+def make_dist_fft_df64(mesh: Mesh, n: int, *, batch_axis: str = "dp",
+                       seq_axis: str = "sp", sign: int = -1,
+                       normalize: bool = False):
+    """Build a jitted distributed complex128 1D FFT over ``mesh``.
+
+    Input/output: a df64 planar quad (rh, rl, ih, il) of f32 arrays of
+    shape (B, n) (``ops.df64.split_f64`` converts from f64), batch sharded
+    over ``batch_axis``, transform axis over ``seq_axis``.  Accuracy is the
+    single-chip df64 contract (~1e-13 vs numpy complex128).
+    """
+    from pyfft_tpu.ops.df64 import df64_const
+
+    if not is_power_of_two(n):
+        raise ValueError(f"n={n} is not a power of two")
+    s = mesh.shape[seq_axis]
+    if n % (s * s) != 0:
+        raise ValueError(f"n={n} must be divisible by seq_parallel^2={s*s}")
+    norm = (1.0 / n) if (normalize and sign > 0) else 1.0
+
+    # host-exact df64 twiddle table T[k1, j2] = w_n^(k1*j2), (s, L) sharded
+    # over j2 so each device receives its (s, L/s) tile
+    L = n // s
+    k1 = np.arange(s, dtype=np.int64)[:, None]
+    j2 = np.arange(L, dtype=np.int64)[None, :]
+    ang = (sign * 2.0 * np.pi / n) * ((k1 * j2) % n).astype(np.float64)
+    twq = tuple(jnp.asarray(a) for pair in (df64_const(np.cos(ang)),
+                                            df64_const(np.sin(ang)))
+                for a in pair)
+
+    spec = P(batch_axis, seq_axis)
+    tspec = P(None, seq_axis)
+    body = functools.partial(_dist_fft_df64_body, sign=sign, n=n, s=s,
+                             seq_axis=seq_axis, norm=norm)
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=((spec,) * 4 + ((tspec,) * 4,)),
+        out_specs=(spec,) * 4, check_vma=False)
+    return jax.jit(lambda rh, rl, ih, il: mapped(rh, rl, ih, il, twq))
 
 
 def dist_fft_1d(re, im, mesh: Mesh, *, sign: int = -1,

@@ -130,13 +130,10 @@ def test_df64_fourstep_threepass_parity():
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
 
 
-# NOTE on the int8-MXU interpret tolerance: on the CPU interpreter the
-# XLA CPU backend applies consumer-driven float rewrites that denormalize
-# the df64 twiddle products feeding the chunker, costing ~2^-25 relative
-# (isolated in round 2; the same values recomputed eagerly are exact).
-# Compiled TPU kernels (Mosaic, no XLA HLO passes on the kernel body)
-# measure 6.5e-15 on the identical cases, inside the 1e-11 c128 gate.
-_INT8_INTERP_TOL = 1e-7
+# The int8-MXU chains are exact on the CPU interpreter too since df64's
+# two_sum moved to the rewrite-immune branch form (XLA's simplifier broke
+# the Knuth form under fusion — see ops/df64.py).
+_INT8_INTERP_TOL = 1e-12
 
 
 def test_df64_int8_mxu_stage():
