@@ -27,38 +27,64 @@ def get_plan(shape, dtype=np.complex64, **kwargs) -> Plan:
     return plan
 
 
-def _transform(x, ndim, inverse, **kwargs):
+def _transform(x, ndim, inverse, axes=None, **kwargs):
     x = np.asanyarray(x) if isinstance(x, (list, tuple)) else x
+    moved = None
+    if axes is not None:
+        axes = (axes,) if isinstance(axes, int) else tuple(axes)
+        axes = tuple(a % x.ndim for a in axes)
+        if len(set(axes)) != len(axes):
+            raise ValueError(f"repeated axes {axes}")
+        ndim = len(axes)
+        trailing = tuple(range(x.ndim - ndim, x.ndim))
+        if axes != trailing:
+            # transform arbitrary axes by moving them to the trailing
+            # positions (XLA fuses/elides the transposes where it can)
+            mover = np if isinstance(x, np.ndarray) else __import__(
+                "jax.numpy", fromlist=["moveaxis"])
+            x = mover.moveaxis(x, axes, trailing)
+            moved = (trailing, axes)
     shape = tuple(x.shape[-ndim:])
     dtype = x.dtype if np.dtype(x.dtype).kind == "c" else np.complex64
     plan = get_plan(shape, dtype, **kwargs)
-    return plan.execute(x, inverse=inverse)
+    out = plan.execute(x, inverse=inverse)
+    if moved is not None:
+        trailing, axes = moved
+        mover = np if isinstance(out, np.ndarray) else __import__(
+            "jax.numpy", fromlist=["moveaxis"])
+        out = mover.moveaxis(out, trailing, axes)
+    return out
 
 
-def fft(x, **kw):
-    """1D FFT over the last axis (power-of-two length)."""
-    return _transform(x, 1, False, **kw)
+def fft(x, axis: int = -1, **kw):
+    """1D FFT over ``axis`` (power-of-two length; default last)."""
+    return _transform(x, 1, False, axes=(axis,), **kw)
 
 
-def ifft(x, **kw):
-    return _transform(x, 1, True, **kw)
+def ifft(x, axis: int = -1, **kw):
+    return _transform(x, 1, True, axes=(axis,), **kw)
 
 
-def fft2(x, **kw):
-    """2D FFT over the last two axes."""
-    return _transform(x, 2, False, **kw)
+def fft2(x, axes=(-2, -1), **kw):
+    """2D FFT over ``axes`` (default last two)."""
+    return _transform(x, 2, False, axes=axes, **kw)
 
 
-def ifft2(x, **kw):
-    return _transform(x, 2, True, **kw)
+def ifft2(x, axes=(-2, -1), **kw):
+    return _transform(x, 2, True, axes=axes, **kw)
 
 
-def fftn(x, ndim=None, **kw):
-    """N-D FFT over the last ``ndim`` axes (default: all, up to 3)."""
-    nd = ndim if ndim is not None else min(x.ndim, 3)
-    return _transform(x, nd, False, **kw)
+def fftn(x, ndim=None, axes=None, **kw):
+    """N-D FFT over ``axes`` (or the last ``ndim`` axes; default all, up
+    to 3)."""
+    if axes is None:
+        nd = ndim if ndim is not None else min(x.ndim, 3)
+        return _transform(x, nd, False, **kw)
+    return _transform(x, None, False, axes=axes, **kw)
 
 
-def ifftn(x, ndim=None, **kw):
-    nd = ndim if ndim is not None else min(x.ndim, 3)
-    return _transform(x, nd, True, **kw)
+def ifftn(x, ndim=None, axes=None, **kw):
+    if axes is None:
+        nd = ndim if ndim is not None else min(x.ndim, 3)
+        return _transform(x, nd, True, **kw)
+    return _transform(x, None, True, axes=axes, **kw)

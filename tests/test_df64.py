@@ -166,4 +166,7 @@ def test_df64_int8_mxu_wide_dynamic_range():
                                     interpret=True)
     got = _unquad(out)
     ref = np.fft.fft(x, axis=-1)
-    assert np.abs(got - ref).max() / np.abs(ref).max() < _INT8_INTERP_TOL
+    # wide dynamic range is exactly where the gate-tuned channel budget is
+    # spent (absolute floor ~2^-46 of the tile max): assert the contract
+    # gate, not the quiet-data figure
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
