@@ -41,13 +41,16 @@ from pyfft_tpu.utils.radix import is_power_of_two
 __all__ = ["supported", "fft_axis_df64", "fft_axis_large_df64",
            "MAX_LOCAL_N_DF64", "tile_fft_df64", "default_factors_df64",
            "mxu_factors_df64"]
-# Compile-safety ceilings measured on v5e (the df64 butterfly chains hold
-# ~n*lanes-sized live values; Mosaic's register allocator spills them to
-# scoped VMEM, which blows the 128 MiB cap past these sizes):
-#   row / col kernels:            n <= 2048
-#   col + fused twiddle + swap:   n <= 1024
-MAX_LOCAL_N_DF64 = 2048
-SWAP_MAX_DF64 = 1024
+# Compile-safety ceilings measured on v5e.  The round-1 limits (row/col
+# n <= 2048, tw+swap n <= 1024) were set by the all-butterfly chains'
+# register spills; the int8-MXU tail chains (now the default) hold far
+# fewer live butterfly values and verified clean compiles + parity at:
+#   row / col kernels:            n <= 4096   (row 7.9e-13, col tested)
+#   col + fused twiddle + swap:   n <= 2048   (5.8e-13)
+# so config-5-class transforms run the TWO-pass four-step form (the XLA
+# digit-swap pass of the old three-pass form is gone).
+MAX_LOCAL_N_DF64 = 4096
+SWAP_MAX_DF64 = 2048
 _MIN_N = 8
 
 

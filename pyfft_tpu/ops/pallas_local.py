@@ -97,9 +97,32 @@ def stage_cost(f: int) -> int:
 # shape); the row kernel at the same n prefers the production chain.
 COL_FACTORS = {2048: (4, 4, 4, 32)}
 
+# Autotuned overrides (utils/tune.autotune persists measured winners per
+# machine); consulted before the static tables.
+_TUNED: dict | None = None
+
+
+def reload_tuned() -> None:
+    global _TUNED
+    from pyfft_tpu.utils.tune import load_tuned
+    _TUNED = load_tuned()
+
+
+def _tuned_factors(kind: str, n: int):
+    global _TUNED
+    if _TUNED is None:
+        reload_tuned()
+    v = _TUNED.get(f"{kind}:{n}")
+    return tuple(v) if v else None
+
 
 def col_factors(n: int) -> tuple[int, ...]:
-    return COL_FACTORS.get(n) or default_factors(n)
+    return (_tuned_factors("col", n) or COL_FACTORS.get(n)
+            or default_factors(n))
+
+
+def row_factors(n: int) -> tuple[int, ...]:
+    return _tuned_factors("row", n) or default_factors(n)
 
 
 @functools.lru_cache(maxsize=None)
@@ -897,6 +920,8 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
     if axis == re.ndim - 1:
         assert not tw_n, "fused twiddle is a column-pass feature"
         assert not swap_store, "swap_store is a column-pass feature"
+        if kw["factors"] is None:
+            kw["factors"] = row_factors(n)     # autotuned / calibrated
         lead = shape[:-1]
         rows = math.prod(lead) if lead else 1
         rr, ii = _fft_rows(re.reshape(rows, n), im.reshape(rows, n), **kw)

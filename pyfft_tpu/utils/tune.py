@@ -1,0 +1,110 @@
+"""Autotuner: measure factor-chain candidates on the device and persist
+the winners (ROADMAP item 5).
+
+The static chain tables (``default_factors``/``COL_FACTORS``) are
+measurement-calibrated for this machine's v5e; other chips (or future
+Mosaic versions) may rank chains differently.  ``autotune`` times the
+candidates with the congestion-robust scan-chain estimator and writes the
+best per (kind, n) to a JSON file that ``pallas_local`` consults before
+its static tables.
+
+    import pyfft_tpu
+    pyfft_tpu.autotune([1024, 2048, 4096])      # once per machine
+    # subsequent plans pick up the tuned chains automatically
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = ["autotune", "tuned_path", "load_tuned"]
+
+_DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "pyfft_tpu",
+                        "tuned_factors.json")
+
+
+def tuned_path() -> str:
+    return os.environ.get("PYFFT_TPU_TUNE_FILE", _DEFAULT)
+
+
+def load_tuned() -> dict:
+    """{f"{kind}:{n}": [factors...]} or {} when no tuning has been run."""
+    try:
+        with open(tuned_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _candidates(n: int):
+    """Chain candidates for length n (power of two, >= 64)."""
+    from pyfft_tpu.ops.pallas_local import default_factors
+    p = n.bit_length() - 1
+    cands = [default_factors(n)]
+    for mxu in (32, 64, 128):
+        mp = mxu.bit_length() - 1
+        r = p - mp
+        if r < 0 or mxu > n:
+            continue
+        if r % 2 == 0:
+            c = (4,) * (r // 2) + (mxu,)
+        else:
+            c = (4,) * (r // 2) + (2, mxu)
+        if c not in cands:
+            cands.append(c)
+    return cands
+
+
+def autotune(ns, kinds=("row", "col"), volume: int = 1 << 24,
+             trials: int = 4, verbose: bool = True) -> dict:
+    """Measure candidates per (kind, n) and persist the winners.
+
+    Returns the full tuned dict.  Runs on the current default backend —
+    meaningful only on real TPU hardware.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pyfft_tpu.ops import pallas_local
+    from pyfft_tpu.utils.profiling import time_scan_chain
+
+    tuned = load_tuned()
+    for n in ns:
+        cands = _candidates(int(n))
+        for kind in kinds:
+            best = None
+            for c in cands:
+                if kind == "row":
+                    rows = max(256, volume // n)
+                    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+                    re = jax.random.normal(k1, (rows, n), jnp.float32)
+                    im = jax.random.normal(k2, (rows, n), jnp.float32)
+                    fn = (lambda r, i, _c=c: pallas_local.fft_axis(
+                        r, i, -1, axis=-1, factors=_c, alias_io=True))
+                else:
+                    t = max(256, volume // n)
+                    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+                    re = jax.random.normal(k1, (1, n, t), jnp.float32)
+                    im = jax.random.normal(k2, (1, n, t), jnp.float32)
+                    fn = (lambda r, i, _c=c: pallas_local.fft_axis(
+                        r, i, -1, axis=-2, factors=_c, alias_io=True))
+                try:
+                    dt = time_scan_chain(fn, (re, im), trials=trials)
+                except Exception as e:          # compile ceiling etc.
+                    if verbose:
+                        print(f"  {kind} n={n} {c}: failed "
+                              f"({str(e).splitlines()[0][:60]})", flush=True)
+                    continue
+                if verbose:
+                    print(f"  {kind} n={n} {c}: {dt*1e3:.3f} ms", flush=True)
+                if best is None or dt < best[0]:
+                    best = (dt, c)
+            if best is not None:
+                tuned[f"{kind}:{n}"] = list(best[1])
+    path = tuned_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(tuned, f, indent=1)
+    pallas_local.reload_tuned()
+    return tuned

@@ -59,9 +59,12 @@ def test_tpu_c128_df64():
     assert kinds(p) == ["local"]
     p = build_plan((1 << 22,), np.complex128, on_tpu=True)
     assert kinds(p) == ["fourstep"]
-    # the df64 kernels' gap (4096/8192: no valid >=128x128 split under the
-    # 2048 local cap) falls back to XLA f64
+    # n=4096 is a local df64 size since the int8-MXU chains lifted the
+    # compile ceilings (round 2); 8192 has no >=128x128 split under the
+    # 4096 cap... 8192 = 128*64: no -> 8192 falls back to XLA f64
     p = build_plan((4096,), np.complex128, on_tpu=True)
+    assert kinds(p) == ["local"]
+    p = build_plan((8192,), np.complex128, on_tpu=True)
     assert kinds(p) == ["xla"]
 
 
@@ -74,3 +77,28 @@ def test_huge_axis_two_level():
 
 def test_total_n():
     assert build_plan((16, 32), np.complex64, on_tpu=False).total_n == 512
+
+
+def test_autotuned_factors_override(tmp_path, monkeypatch):
+    """utils.tune winners override the static chain tables."""
+    import json
+
+    from pyfft_tpu.ops import pallas_local
+    from pyfft_tpu.utils import tune
+
+    path = tmp_path / "tuned.json"
+    json.dump({"col:512": [4, 2, 64], "row:512": [2, 4, 64]}, open(path, "w"))
+    monkeypatch.setenv("PYFFT_TPU_TUNE_FILE", str(path))
+    pallas_local.reload_tuned()
+    try:
+        assert pallas_local.col_factors(512) == (4, 2, 64)
+        assert pallas_local.row_factors(512) == (2, 4, 64)
+        assert pallas_local.col_factors(2048) == (4, 4, 4, 32)  # static
+        # candidate generator produces valid chains
+        import math
+        for n in (256, 1024, 4096):
+            for c in tune._candidates(n):
+                assert math.prod(c) == n
+    finally:
+        monkeypatch.delenv("PYFFT_TPU_TUNE_FILE")
+        pallas_local.reload_tuned()
