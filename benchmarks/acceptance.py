@@ -194,6 +194,22 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_small.json" if args.small else "results.json")
+    # carry best-known rates across runs: the shared chip's co-tenant load
+    # halves throughput in bad hours (see README), so the per-run `ms` and
+    # the best-observed `best_ms`/`best_gflops` are both recorded
+    prev = {}
+    try:
+        with open(out) as f:
+            prev = {r.get("config"): r for r in json.load(f).get("rows", [])}
+    except (OSError, ValueError):
+        pass
+    for r in rows:
+        if "ms" not in r:
+            continue
+        p = prev.get(r["config"], {})
+        best_ms = min(r["ms"], p.get("best_ms", p.get("ms", r["ms"])))
+        r["best_ms"] = best_ms
+        r["best_gflops"] = round(r["gflops"] * r["ms"] / best_ms, 1)
     with open(out, "w") as f:
         json.dump(dict(backend=jax.default_backend(), rows=rows), f, indent=1)
     print(f"wrote {out}", flush=True)

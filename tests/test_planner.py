@@ -100,5 +100,10 @@ def test_autotuned_factors_override(tmp_path, monkeypatch):
             for c in tune._candidates(n):
                 assert math.prod(c) == n
     finally:
-        monkeypatch.delenv("PYFFT_TPU_TUNE_FILE")
+        # point at an empty file (not the machine's real cache, which may
+        # hold autotuned entries) before restoring module state
+        empty = tmp_path / "empty.json"
+        json.dump({}, open(empty, "w"))
+        monkeypatch.setenv("PYFFT_TPU_TUNE_FILE", str(empty))
         pallas_local.reload_tuned()
+        pallas_local._TUNED = None   # lazy-reload from real env next use
