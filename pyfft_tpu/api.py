@@ -8,6 +8,7 @@ executables.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from pyfft_tpu.plan import Plan
@@ -32,16 +33,25 @@ def _transform(x, ndim, inverse, axes=None, **kwargs):
     moved = None
     if axes is not None:
         axes = (axes,) if isinstance(axes, int) else tuple(axes)
+        for a in axes:
+            if not -x.ndim <= a < x.ndim:
+                raise ValueError(
+                    f"axis {a} is out of bounds for array of dimension "
+                    f"{x.ndim}")
         axes = tuple(a % x.ndim for a in axes)
         if len(set(axes)) != len(axes):
             raise ValueError(f"repeated axes {axes}")
+        if ndim is not None and len(axes) != ndim:
+            raise ValueError(f"axes should be of length {ndim}, "
+                             f"got {axes}")
         ndim = len(axes)
+        if not 1 <= ndim <= 3:
+            raise ValueError(f"FFT rank must be 1..3, got axes {axes}")
         trailing = tuple(range(x.ndim - ndim, x.ndim))
         if axes != trailing:
             # transform arbitrary axes by moving them to the trailing
             # positions (XLA fuses/elides the transposes where it can)
-            mover = np if isinstance(x, np.ndarray) else __import__(
-                "jax.numpy", fromlist=["moveaxis"])
+            mover = np if isinstance(x, np.ndarray) else jnp
             x = mover.moveaxis(x, axes, trailing)
             moved = (trailing, axes)
     shape = tuple(x.shape[-ndim:])
@@ -50,8 +60,7 @@ def _transform(x, ndim, inverse, axes=None, **kwargs):
     out = plan.execute(x, inverse=inverse)
     if moved is not None:
         trailing, axes = moved
-        mover = np if isinstance(out, np.ndarray) else __import__(
-            "jax.numpy", fromlist=["moveaxis"])
+        mover = np if isinstance(out, np.ndarray) else jnp
         out = mover.moveaxis(out, trailing, axes)
     return out
 
@@ -80,11 +89,11 @@ def fftn(x, ndim=None, axes=None, **kw):
     if axes is None:
         nd = ndim if ndim is not None else min(x.ndim, 3)
         return _transform(x, nd, False, **kw)
-    return _transform(x, None, False, axes=axes, **kw)
+    return _transform(x, ndim, False, axes=axes, **kw)
 
 
 def ifftn(x, ndim=None, axes=None, **kw):
     if axes is None:
         nd = ndim if ndim is not None else min(x.ndim, 3)
         return _transform(x, nd, True, **kw)
-    return _transform(x, None, True, axes=axes, **kw)
+    return _transform(x, ndim, True, axes=axes, **kw)

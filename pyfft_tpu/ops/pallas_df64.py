@@ -82,7 +82,8 @@ _B = 7                                              # bits per int8 channel
 # matmuls for 6e-15, precision the contract doesn't need):
 _W_SHIFTS = tuple(_B * (i + 1) for i in range(6))   # W bits 1..42
 _HI_SHIFTS = tuple(_B * (i + 1) for i in range(6))  # hi bits 1..42
-_LO_SHIFTS = tuple(24 + _B * (i + 1) for i in range(4))  # lo bits 25..52
+# lo channels at shifts 31/38/45: a 4th (shift 52) could never pair under
+_LO_SHIFTS = tuple(24 + _B * (i + 1) for i in range(3))  # _KEEP (52+7 > 53)
 _KEEP = 53                                          # max combined shift
 
 
@@ -99,8 +100,10 @@ def mxu_factors_df64(n: int) -> tuple[int, ...]:
 
 
 def int8_dft_table(f: int, sign: int) -> tuple[np.ndarray, ...]:
-    """The stacked complex DFT matrix [[Wr,-Wi],[Wi,Wr]] as 8 int8 channels
-    W = sum_k C_k 2^-shift_k (exact to 56 bits)."""
+    """The stacked complex DFT matrix [[Wr,-Wi],[Wi,Wr]] as len(_W_SHIFTS)
+    int8 channels W ~= sum_k C_k 2^-shift_k (exact to 7*len(_W_SHIFTS)
+    bits; the channel budget is tuned against the c128 gate — see the
+    _W_SHIFTS comment)."""
     k = np.arange(f).reshape(-1, 1)
     j = np.arange(f).reshape(1, -1)
     ang = sign * 2.0 * np.pi * (k * j % f) / f
@@ -449,13 +452,22 @@ def supported(rh, axis: int, max_local: int | None = None) -> bool:
 
 def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
                   interpret: bool | None = None, factors=None,
-                  tw_n: int = 0, swap_store: bool = False):
-    """DFT along ``axis`` of a complex-df64 planar quad (rh, rl, ih, il)."""
+                  tw_n: int = 0, swap_store: bool = False,
+                  fast_math: bool = True):
+    """DFT along ``axis`` of a complex-df64 planar quad (rh, rl, ih, il).
+
+    ``fast_math=False`` selects the all-butterfly chain (exact adds, df64
+    twiddles only: ~1e-13) where its compile ceiling allows (n <= 2048);
+    the default int8-MXU tail chain is ~1e-12 — both inside the 1e-11
+    contract gate.
+    """
     rh = planes[0]
     axis = axis % rh.ndim
     n = rh.shape[axis]
     if interpret is None:
         interpret = _interpret_default()
+    if factors is None and not fast_math and n <= 2048:
+        factors = default_factors_df64(n)   # the precise butterfly chain
     if factors is None and n >= 64:
         # int8-MXU tail chains replace the small-rest butterfly stages
         # (the expensive ones) with one exact MXU contraction: measured
@@ -502,7 +514,8 @@ def _choose_split_df64(n: int, max_local: int) -> tuple[int, int]:
 def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
                         max_local: int | None = None,
                         swap_max: int | None = None,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        fast_math: bool = True):
     """Four-step df64 DFT over the last axis.
 
     Two forms, chosen by the measured compile ceilings:
@@ -527,12 +540,13 @@ def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
     x = tuple(p.reshape(*lead, n1, n2) for p in planes)
     if n1 <= swap_max:
         x = fft_axis_df64(x, sign, axis=-2, tw_n=n, swap_store=True,
-                          interpret=interpret)
+                          interpret=interpret, fast_math=fast_math)
         x = fft_axis_df64(x, sign, axis=-2, postscale=postscale,
-                          interpret=interpret)
+                          interpret=interpret, fast_math=fast_math)
         return tuple(p.reshape(*lead, n) for p in x)
     # three-pass form: too big for the swap-store kernel
-    x = fft_axis_df64(x, sign, axis=-2, tw_n=n, interpret=interpret)
+    x = fft_axis_df64(x, sign, axis=-2, tw_n=n, interpret=interpret,
+                      fast_math=fast_math)
     x = fft_axis_df64(x, sign, axis=-1, postscale=postscale,
-                      interpret=interpret)
+                      interpret=interpret, fast_math=fast_math)
     return tuple(jnp.swapaxes(p, -1, -2).reshape(*lead, n) for p in x)

@@ -118,6 +118,9 @@ def _fft_cols_stream(re, im, *, n, sign, postscale, interpret,
                      lanes=LANES):
     with jax.enable_x64(False):
         L, _, T = re.shape
+        assert T % lanes == 0, (
+            f"streaming column pass needs a whole number of lane tiles "
+            f"(trail {T}, lanes {lanes})")
         factors = tuple(factors or col_factors(n))
         tables = needed_tables(n, sign, factors=factors, stacked=stacked)
         layout = tuple((k, len(v)) for k, v in tables.items())

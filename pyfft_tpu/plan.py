@@ -197,10 +197,12 @@ class Plan:
                 axis = re.ndim - ndim + p.axis
                 if p.executor == "fourstep":
                     planes = pallas_df64.fft_axis_large_df64(
-                        planes, sign, axis=axis, postscale=post)
+                        planes, sign, axis=axis, postscale=post,
+                        fast_math=self.fast_math)
                 else:
                     planes = pallas_df64.fft_axis_df64(
-                        planes, sign, axis=axis, postscale=post)
+                        planes, sign, axis=axis, postscale=post,
+                        fast_math=self.fast_math)
             rh, rl, ih, il = planes
             return (rh.astype(jnp.float64) + rl.astype(jnp.float64),
                     ih.astype(jnp.float64) + il.astype(jnp.float64))

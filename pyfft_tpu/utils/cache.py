@@ -28,11 +28,18 @@ _DEFAULT_DIR = os.path.join(
 _enabled = False
 
 
-def enable_compile_cache(path: str | None = None) -> str | None:
+def enable_compile_cache(path: str | None = None,
+                         aggressive: bool = False) -> str | None:
     """Enable JAX's persistent compilation cache (idempotent).
 
     Returns the cache directory in use, or None if caching was declined
     (user opt-out, or a cache dir is already configured elsewhere).
+
+    The auto-enable path (from ``Plan`` on TPU) sets ONLY the cache
+    directory: JAX's default thresholds (min compile time ~1 s) already
+    admit every expensive FFT kernel while keeping the host application's
+    cheap compiles out of the cache.  Pass ``aggressive=True`` to also
+    zero the time/size thresholds (cache absolutely everything).
     """
     global _enabled
     if _enabled:
@@ -45,11 +52,9 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     path = path or os.environ.get("PYFFT_TPU_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache everything: FFT kernels are small artifacts but cost minutes to
-    # compile through the shared service — the default 1s/small-entry
-    # thresholds would skip exactly the entries we need.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if aggressive:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
     return path
 

@@ -409,3 +409,44 @@ def test_api_axis_kwargs():
         < TOL[np.complex64]
     with pytest.raises(ValueError):
         fftn(x, axes=(1, 1))
+
+
+def test_fast_math_false_c128(monkeypatch):
+    """fast_math=False restores the all-butterfly df64 chains for c128
+    (review finding: the int8-MXU default left the flag inert there)."""
+    import pyfft_tpu.plan as planmod
+    from pyfft_tpu.ops import pallas_df64
+
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((2, 1024), seed=70, dtype=np.complex128)
+    ref = np.fft.fft(x, axis=-1)
+
+    seen = []
+    orig = pallas_df64.fft_axis_df64
+
+    def spy(planes, sign, **kw):
+        out = orig(planes, sign, **kw)
+        seen.append(kw.get("fast_math", True))
+        return out
+
+    monkeypatch.setattr(pallas_df64, "fft_axis_df64", spy)
+    rr, ii = Plan((1024,), np.complex128, fast_math=False).execute(
+        np.real(x), np.imag(x))
+    assert seen and seen[-1] is False
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    # butterfly chains hold the tighter pre-round-2 accuracy
+    assert rel_err(got, ref) < 1e-12
+
+
+def test_api_axis_validation():
+    """Out-of-range / wrong-arity axes raise instead of silently wrapping
+    (review finding: axis=2 on a 2D array used to transform axis 0)."""
+    x = rand_complex((8, 64))
+    with pytest.raises(ValueError):
+        fft(x, axis=2)
+    with pytest.raises(ValueError):
+        fft(x, axis=-3)
+    with pytest.raises(ValueError):
+        fft2(x, axes=(0,))
+    with pytest.raises(ValueError):
+        fftn(x, axes=(0, 1, 0))
