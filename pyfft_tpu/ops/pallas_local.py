@@ -97,6 +97,11 @@ def stage_cost(f: int) -> int:
 # shape); the row kernel at the same n prefers the production chain.
 COL_FACTORS = {2048: (4, 4, 4, 32)}
 
+# Row-kernel overrides (autotune-measured, v5e round 2): a late radix-2
+# ahead of a 64-wide MXU stage beats the parity rule's 128-wide stage by
+# 46% at n=2048 (0.283 vs 0.414 ms on the 2^23-element tuned shape).
+ROW_FACTORS = {2048: (4, 4, 2, 64)}
+
 # Autotuned overrides (utils/tune.autotune persists measured winners per
 # machine); consulted before the static tables.
 _TUNED: dict | None = None
@@ -122,7 +127,8 @@ def col_factors(n: int) -> tuple[int, ...]:
 
 
 def row_factors(n: int) -> tuple[int, ...]:
-    return _tuned_factors("row", n) or default_factors(n)
+    return (_tuned_factors("row", n) or ROW_FACTORS.get(n)
+            or default_factors(n))
 
 
 @functools.lru_cache(maxsize=None)
