@@ -450,3 +450,25 @@ def test_api_axis_validation():
         fft2(x, axes=(0,))
     with pytest.raises(ValueError):
         fftn(x, axes=(0, 1, 0))
+
+
+def test_plan_huge_two_level(monkeypatch):
+    """Plan-level integration of the two-level six-step executor
+    (forced small local ceiling so it runs at test sizes)."""
+    import pyfft_tpu.plan as planmod
+    from pyfft_tpu.ops import pallas_local
+
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pallas_local, "MAX_LOCAL_N", 128)
+    n = 1 << 21
+    plan = Plan((n,), scale=0.5)
+    assert [p.executor for p in plan._exec_plan.passes] == ["huge"]
+    x = rand_complex((2, n), seed=91)
+    rr, ii = plan.execute(x.real.copy(), x.imag.copy())
+    got = (np.asarray(rr) + 1j * np.asarray(ii)) * 2.0
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]
+    br, bi = plan.execute(rr, ii, inverse=True)
+    # the user scale folds into BOTH directions: roundtrip carries 0.25
+    back = (np.asarray(br) + 1j * np.asarray(bi)) * 4.0
+    assert rel_err(back, x) < TOL[np.complex64]
