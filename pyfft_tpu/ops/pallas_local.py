@@ -191,14 +191,40 @@ def precise_factors(n: int) -> tuple[int, ...] | None:
     return None
 
 
+# int8-split exact MXU mode for c64 (precision="int8"): W in 3 7-bit
+# channels (21 bits), x in 4 (28 bits), keeping pair shifts <= 35 -> 9
+# exact int8 matmuls ~ 4.5 bf16-equivalents vs HIGHEST's 6 passes, with
+# measured stage error 4.7e-7 (gate 2e-6).  MEASURED SLOWER end to end on
+# v5e (col n=2048: 7.0 vs 1.5 ms; row n=4096: 3.5 vs 0.8): the VPU chunk
+# extraction + int8 relayouts swamp c64's small per-element compute budget
+# (for df64, whose budget is ~10x, the same idea wins ~1.8x).  Kept as a
+# correct optional mode; not selected by any default.
+_I8_B = 7
+_I8_W_SHIFTS = tuple(_I8_B * (i + 1) for i in range(3))
+_I8_X_SHIFTS = tuple(_I8_B * (i + 1) for i in range(4))
+_I8_KEEP = 35
+
+
+def _int8_chunks_np(x: np.ndarray, shifts) -> tuple[np.ndarray, ...]:
+    out = []
+    r = np.asarray(x, np.float64)
+    for s in shifts:
+        c = np.clip(np.rint(r * 2.0 ** s), -127, 127)
+        r = r - c * 2.0 ** (-s)
+        out.append(c.astype(np.int8))
+    return tuple(out)
+
+
 def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
-                  stacked: bool = True) -> dict:
+                  stacked: bool = True, precision: str = _PRECISION) -> dict:
     """Ordered {key: (real, imag)} numpy tables for a length-n tile FFT.
 
     With ``stacked`` the DFT matrices are stored in the 2x2 real-stacked
     form [[Wr, -Wi], [Wi, Wr]] so a complex contraction is one real matmul
     with doubled K — full MXU width even for 64-point factors.
     VPU-butterfly factors need no DFT matrix, only inter-stage twiddles.
+    ``precision="int8"`` stores the stacked matrix as 3 int8 channels
+    instead (exact quantized products — see _I8_* constants).
     """
     factors = tuple(factors or default_factors(n))
     assert math.prod(factors) == n
@@ -206,12 +232,17 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
     tables: dict = {}
     for i, f in enumerate(factors):
         if f not in VPU_RADICES:
-            wr, wi = dft_matrix(f, sign, dtype)
-            if stacked:
+            wr, wi = dft_matrix(f, sign, np.float64)
+            if precision == "int8":
                 ws = np.block([[wr, -wi], [wi, wr]])
+                tables.setdefault(("wi8", f),
+                                  _int8_chunks_np(ws, _I8_W_SHIFTS))
+            elif stacked:
+                ws = np.block([[wr, -wi], [wi, wr]]).astype(dtype)
                 tables.setdefault(("dfts", f), (ws,))
             else:
-                tables.setdefault(("dft", f), (wr, wi))
+                tables.setdefault(("dft", f),
+                                  (wr.astype(dtype), wi.astype(dtype)))
         if i < m - 1:
             rest = factors[i + 1:]
             r = math.prod(rest)
@@ -256,6 +287,55 @@ def _dg(w, x, axis, precision):
                                precision=_PREC_MAP[precision])
 
 
+def _exp2_vec(e):
+    """2^e for a (1, 1) int32 array (Mosaic bitcast needs vectors)."""
+    bits = (e + jnp.int32(127)) << 23
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.int32), jnp.float32)
+
+
+def _int8_stage(xr, xi, f, axis, wch):
+    """f-point stacked-complex DFT stage via exact int8-split MXU products.
+
+    x is decomposed into 4 7-bit int8 channels against a per-tile
+    power-of-two alignment (progressive extraction, exact in f32), W into
+    3 host-precomputed channels; the 9 significant channel pairs run as
+    exact int8 x int8 -> int32 matmuls and recombine in f32 (int32 group
+    sums stay < 2^24, so every conversion is exact).  Measured stage
+    error 4.7e-7 — inside the 2e-6 c64 gate with margin — at ~4.5
+    bf16-pass-equivalents of MXU work vs HIGHEST's 6.
+    """
+    a = jnp.maximum(jnp.abs(xr), jnp.abs(xi)).reshape(1, -1)
+    amax = jnp.max(a, axis=1, keepdims=True)
+    eb = (jax.lax.bitcast_convert_type(amax, jnp.int32) >> 23) & 0xFF
+    m = jnp.clip(eb - 126, -40, 120)
+    xs = jnp.concatenate([xr, xi], axis=axis)
+    chans = []
+    r = xs
+    for s in _I8_X_SHIFTS:
+        sh = _exp2_vec(m - jnp.int32(s))
+        inv = _exp2_vec(jnp.int32(s) - m)
+        c = jnp.clip(jnp.round(r * inv), -127.0, 127.0)
+        r = r - c * sh
+        chans.append((c.astype(jnp.int8), s))
+    dims = (((1,), (axis,)), ((), ()))
+    groups: dict = {}
+    for wi, ws in enumerate(_I8_W_SHIFTS):
+        for cx, sx in chans:
+            s = ws + sx
+            if s <= _I8_KEEP:
+                groups.setdefault(s, []).append((wi, cx))
+    acc = None
+    for s in sorted(groups):
+        g = None
+        for wi, cx in groups[s]:
+            y = jax.lax.dot_general(wch[wi], cx, dims,
+                                    preferred_element_type=jnp.int32)
+            g = y if g is None else g + y
+        t = g.astype(jnp.float32) * _exp2_vec(m - jnp.int32(s))
+        acc = t if acc is None else acc + t
+    return acc[:f], acc[f:]
+
+
 def _cdot(wr, wi, xr, xi, axis, precision):
     """Complex (w @ x) contracting x's ``axis``, as 4 real contractions.
     The contracted-out index lands at axis 0 of the outputs."""
@@ -291,6 +371,8 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
     for i, f in enumerate(factors):
         if f in VPU_RADICES:
             xr, xi = _butterfly(f, xr, xi, i, sign)
+        elif precision == "int8":
+            xr, xi = _int8_stage(xr, xi, f, i, tables[("wi8", f)])
         elif stacked:
             xs = jnp.concatenate([xr, xi], axis=i)
             (ws,) = tables[("dfts", f)]
@@ -357,7 +439,8 @@ def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
 def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
                     precision, stacked, lanes, interleaved, alias_io):
     factors = tuple(factors or default_factors(n))
-    tables = needed_tables(n, sign, factors=factors, stacked=stacked)
+    tables = needed_tables(n, sign, factors=factors, stacked=stacked,
+                           precision=precision)
     layout = tuple((k, len(v)) for k, v in tables.items())
     flat = [jnp.asarray(a) for v in tables.values() for a in v]
     grid = (pl.cdiv(rows, lanes),)
@@ -497,7 +580,8 @@ def _fft_rows_swap(re, im, *, sign, postscale, interpret,
         assert n1 % lanes == 0, (n1, lanes)
         k = n1 // lanes
         factors = tuple(factors or default_factors(n))
-        tables = needed_tables(n, sign, factors=factors, stacked=stacked)
+        tables = needed_tables(n, sign, factors=factors, stacked=stacked,
+                           precision=precision)
         layout = tuple((kk, len(v)) for kk, v in tables.items())
         flat = [jnp.asarray(a) for v in tables.values() for a in v]
         rows = lead * n1
@@ -666,7 +750,8 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
                     tw_period, swap_store, swap_mid, alias_io):
     L, _, T = re.shape
     factors = tuple(factors or default_factors(n))
-    tables = needed_tables(n, sign, factors=factors, stacked=stacked)
+    tables = needed_tables(n, sign, factors=factors, stacked=stacked,
+                           precision=precision)
     layout = tuple((k, len(v)) for k, v in tables.items())
     flat = [jnp.asarray(a) for v in tables.values() for a in v]
     grid = (L, pl.cdiv(T, lanes))
@@ -802,8 +887,10 @@ def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
     L = re.shape[0]
     fy = tuple(factors_y or default_factors(ny))
     fx = tuple(factors_x or default_factors(nx))
-    tables = needed_tables(ny, sign, factors=fy, stacked=stacked)
-    tables.update(needed_tables(nx, sign, factors=fx, stacked=stacked))
+    tables = needed_tables(ny, sign, factors=fy, stacked=stacked,
+                           precision=precision)
+    tables.update(needed_tables(nx, sign, factors=fx, stacked=stacked,
+                                precision=precision))
     layout = tuple((k, len(v)) for k, v in tables.items())
     flat = [jnp.asarray(a) for v in tables.values() for a in v]
     grid = (L,)
@@ -930,7 +1017,18 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
             kw["factors"] = row_factors(n)     # autotuned / calibrated
         lead = shape[:-1]
         rows = math.prod(lead) if lead else 1
-        rr, ii = _fft_rows(re.reshape(rows, n), im.reshape(rows, n), **kw)
+        r2 = re.reshape(rows, n)
+        i2 = im.reshape(rows, n)
+        pad = (-rows) % lanes if precision == "int8" else 0
+        if pad:
+            # the int8 stage's per-tile alignment reads max|x| over the
+            # whole block; partial edge blocks are padded with unspecified
+            # values by Pallas, so pad to whole lane tiles with zeros
+            r2 = jnp.pad(r2, ((0, pad), (0, 0)))
+            i2 = jnp.pad(i2, ((0, pad), (0, 0)))
+        rr, ii = _fft_rows(r2, i2, **kw)
+        if pad:
+            rr, ii = rr[:rows], ii[:rows]
         return rr.reshape(*lead, n), ii.reshape(*lead, n)
     lead = math.prod(shape[:axis]) if axis else 1
     trail = math.prod(shape[axis + 1:])

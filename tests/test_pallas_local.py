@@ -162,3 +162,17 @@ def test_fourstep_variant_b_parity():
     got = (np.asarray(r) + 1j * np.asarray(i)).reshape(2, n)
     ref = 2.0 * np.fft.fft(x.astype(np.complex128), axis=-1)
     assert rel_err(got, ref) < TOL[np.complex64]
+
+
+@pytest.mark.parametrize("n,rows", [(256, 200), (2048, 64)])
+def test_int8_precision_mode(n, rows):
+    """Exact int8-split MXU mode (precision='int8'): parity inside the c64
+    gate.  Measured slower than HIGHEST on v5e (see the _I8_* comment) —
+    kept as correct optional machinery."""
+    import jax.numpy as jnp
+    x = rand_complex((rows, n), seed=n + rows + 7)
+    rr, ii = fft_axis(jnp.asarray(x.real), jnp.asarray(x.imag), -1,
+                      axis=-1, precision="int8", interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex64]
