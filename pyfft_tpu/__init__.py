@@ -10,11 +10,13 @@ VERSION = (0, 3, 0)
 __version__ = ".".join(map(str, VERSION))
 
 from pyfft_tpu.plan import Plan
-from pyfft_tpu.api import fft, ifft, fft2, ifft2, fftn, ifftn
+from pyfft_tpu.api import (fft, ifft, fft2, ifft2, fftn, ifftn,
+                           fftshift, ifftshift, fftfreq)
 from pyfft_tpu.utils.cache import enable_compile_cache, warmup
 from pyfft_tpu.utils.tune import autotune
 from pyfft_tpu.real import rfft, irfft
 
 __all__ = ["Plan", "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-           "rfft", "irfft", "enable_compile_cache", "warmup", "autotune",
+           "rfft", "irfft", "fftshift", "ifftshift", "fftfreq",
+           "enable_compile_cache", "warmup", "autotune",
            "VERSION", "__version__"]

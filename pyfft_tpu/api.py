@@ -13,7 +13,8 @@ import numpy as np
 
 from pyfft_tpu.plan import Plan
 
-__all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn", "get_plan"]
+__all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn", "get_plan",
+           "fftshift", "ifftshift", "fftfreq"]
 
 _PLAN_CACHE: dict = {}
 
@@ -97,3 +98,20 @@ def ifftn(x, ndim=None, axes=None, **kw):
         nd = ndim if ndim is not None else min(x.ndim, 3)
         return _transform(x, nd, True, **kw)
     return _transform(x, ndim, True, axes=axes, **kw)
+
+
+def fftshift(x, axes=None):
+    """Shift the zero-frequency component to the center (numpy-compatible;
+    works on numpy or JAX arrays without a host round trip)."""
+    mover = np if isinstance(x, np.ndarray) else jnp
+    return mover.fft.fftshift(x, axes=axes)
+
+
+def ifftshift(x, axes=None):
+    mover = np if isinstance(x, np.ndarray) else jnp
+    return mover.fft.ifftshift(x, axes=axes)
+
+
+def fftfreq(n, d=1.0):
+    """Sample frequencies for a length-n transform (numpy-compatible)."""
+    return np.fft.fftfreq(n, d)

@@ -31,3 +31,14 @@ def test_readme_split_example():
     br, bi = plan.execute(fr, fi, inverse=True)
     assert np.abs(np.asarray(br) - re).max() < 1e-5
     assert np.abs(np.asarray(bi) - im).max() < 1e-5
+
+
+def test_fftshift_helpers():
+    import numpy as np
+
+    from pyfft_tpu import fftfreq, fftshift, ifftshift
+
+    x = np.arange(8.0)
+    assert np.array_equal(fftshift(x), np.fft.fftshift(x))
+    assert np.array_equal(ifftshift(fftshift(x)), x)
+    assert np.allclose(fftfreq(8, 0.5), np.fft.fftfreq(8, 0.5))
