@@ -66,12 +66,16 @@ class Plan:
       dtype: numpy.complex64 (default) or numpy.complex128.
       normalize: inverse transform scales by 1/(x*y*z) (default True).
       scale: extra user scale folded into both directions' output.
-      fast_math: allow the planner to pick faster, slightly less precise
-        kernels (kept within the documented tolerance gates).
+      fast_math: True (default) = the calibrated MXU contraction chains;
+        False = exact butterfly chains per axis (n <= 2048) — slower,
+        measurably more accurate, both inside the documented gates
+        (the reference's precise-vs-native-trig switch).
       wait_for_finish: default sync behavior of execute(); if None it is
         inferred — async when a stream/queue was supplied, sync otherwise.
       context/stream/queue: accepted for API familiarity (see module doc).
       force_xla: bypass Pallas kernels (debugging / non-TPU profiling).
+      donate: reuse input buffers for outputs (in-place memory behavior;
+        device-array inputs are invalidated after the call).
     """
 
     def __init__(self, shape, dtype=np.complex64, *, normalize: bool = True,
