@@ -58,11 +58,11 @@ def bench(fn, fresh, k1=2, k2=10, trials=4):
         longs.append(run(k2))
     est = (min(longs) - min(shorts)) / (k2 - k1)
     if est <= 0:
-        # degenerate (extreme congestion): one long amortized chain
+        # degenerate (extreme congestion, or sub-resolution CPU smoke
+        # runs): one long amortized chain as the fallback estimate
         est = (run(4 * k2) - min(shorts)) / (4 * k2 - k1)
         if est <= 0:
-            raise RuntimeError("timing unstable: non-positive differencing "
-                               "(tunnel congestion)")
+            est = min(longs) / k2      # amortized upper bound, never inf
     return est
 
 
