@@ -123,26 +123,43 @@ def main():
     # load drifts in ~minute-scale waves (measured 2x device-time swings
     # between hours), so a longer window with early exit once the target
     # is cleared maximizes the odds of recording the kernel's true rate.
+    #
+    # Estimator discipline: per-family MIN-THEN-DIFFERENCE only.  Paired
+    # differences ((tb_i - ta_i) per trial) can pair a congested short run
+    # with a clean long one and report an arbitrarily LOW figure — one such
+    # outlier once reported 10979 GF (0.09 ms) against a true 0.78 ms.
+    # Chain walls can only be inflated by congestion, so min-per-chain is
+    # sound and the min difference is a lower bound on the true rate only
+    # up to overhead variation, never a 10x fantasy.
     target_dt = (2.0 * N * BATCH * 8 / HBM_BW) / 0.70   # s/iter at target
     deadline = time.monotonic() + min(TIMEOUT_S - 120, 420)
-    scan_est, host_est = [], []
+    tas, tbs, r4s, r24s = [], [], [], []
+
+    def families():
+        ests = []
+        if tas and tbs:
+            ests.append((min(tbs) - min(tas)) / (KB - KA))
+        if r4s and r24s:
+            ests.append((min(r24s) - min(r4s)) / 20)
+        return [d for d in ests if d > 0]
+
     for trial in range(24):
-        ta, tb = t_of(chain_a), t_of(chain_b)
-        scan_est.append((tb - ta) / (KB - KA))
+        tas.append(t_of(chain_a))
+        tbs.append(t_of(chain_b))
         if trial % 2 == 1:
-            host_est.append((run(24) - run(4)) / 20)
-        best = min((d for d in scan_est + host_est if d > 0),
-                   default=float("inf"))
+            r4s.append(run(4))
+            r24s.append(run(24))
+        best = min(families(), default=float("inf"))
         if best < 0.95 * target_dt or time.monotonic() > deadline:
             break
         time.sleep(6)
-    host_est.append((run(100) - run(2)) / 98)
 
-    diffs = [d for d in scan_est + host_est if d > 0]
+    diffs = families()
     if not diffs:
-        diffs = [(run(100) - run(2)) / 98, t_of(chain_b) / KB]
-        diffs = [d for d in diffs if d > 0] or [t_of(chain_b) / KB]
+        diffs = [t_of(chain_b) / KB]        # amortized upper bound
     dt = max(min(diffs), 1e-9)
+    scan_est = [(min(tbs) - min(tas)) / (KB - KA)] if tas else []
+    host_est = [(min(r24s) - min(r4s)) / 20] if r4s else []
 
     eff_flops = 5.0 * N * math.log2(N) * BATCH
     gflops = eff_flops / dt / 1e9
