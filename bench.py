@@ -132,7 +132,7 @@ def main():
     # sound and the min difference is a lower bound on the true rate only
     # up to overhead variation, never a 10x fantasy.
     target_dt = (2.0 * N * BATCH * 8 / HBM_BW) / 0.70   # s/iter at target
-    deadline = time.monotonic() + min(TIMEOUT_S - 120, 420)
+    deadline = time.monotonic() + min(TIMEOUT_S - 120, 780)
     tas, tbs, r4s, r24s = [], [], [], []
 
     def families():
@@ -143,7 +143,7 @@ def main():
             ests.append((min(r24s) - min(r4s)) / 20)
         return [d for d in ests if d > 0]
 
-    for trial in range(24):
+    for trial in range(64):
         tas.append(t_of(chain_a))
         tbs.append(t_of(chain_b))
         if trial % 2 == 1:
