@@ -14,9 +14,13 @@ from pyfft_tpu.api import (fft, ifft, fft2, ifft2, fftn, ifftn,
                            fftshift, ifftshift, fftfreq)
 from pyfft_tpu.utils.cache import enable_compile_cache, warmup
 from pyfft_tpu.utils.tune import autotune
-from pyfft_tpu.real import rfft, irfft
+from pyfft_tpu.real import (rfft, irfft, rfft2, irfft2, rfftn, irfftn,
+                            rfft_planar, irfft_planar, rfftn_planar,
+                            irfftn_planar)
 
 __all__ = ["Plan", "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-           "rfft", "irfft", "fftshift", "ifftshift", "fftfreq",
+           "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
+           "rfft_planar", "irfft_planar", "rfftn_planar", "irfftn_planar",
+           "fftshift", "ifftshift", "fftfreq",
            "enable_compile_cache", "warmup", "autotune",
            "VERSION", "__version__"]

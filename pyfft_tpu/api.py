@@ -14,7 +14,7 @@ import numpy as np
 from pyfft_tpu.plan import Plan
 
 __all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn", "get_plan",
-           "fftshift", "ifftshift", "fftfreq"]
+           "fftshift", "ifftshift", "fftfreq", "rfftfreq"]
 
 _PLAN_CACHE: dict = {}
 
@@ -113,5 +113,12 @@ def ifftshift(x, axes=None):
 
 
 def fftfreq(n, d=1.0):
-    """Sample frequencies for a length-n transform (numpy-compatible)."""
-    return np.fft.fftfreq(n, d)
+    """Sample frequencies for a length-n transform (numpy-compatible
+    layout, returned as a JAX array so it composes into jitted pipelines;
+    ``np.asarray`` it for a host copy)."""
+    return jnp.fft.fftfreq(n, d)
+
+
+def rfftfreq(n, d=1.0):
+    """Sample frequencies for a length-n real transform (JAX array)."""
+    return jnp.fft.rfftfreq(n, d)

@@ -495,8 +495,15 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
         return tuple(p.reshape(*lead, n) for p in out)
     lead = math.prod(shape[:axis]) if axis else 1
     trail = math.prod(shape[axis + 1:])
-    assert not (has_mxu and trail % LANES), \
-        "int8-MXU column pass needs a whole number of lane tiles"
+    if has_mxu and trail % LANES:
+        # not an assert: the MXU stage's per-tile amax reads the whole
+        # block including Pallas's unspecified edge-pad values, so a
+        # misaligned trail means silent corruption — and asserts vanish
+        # under python -O.  Internal callers are guarded by supported().
+        raise ValueError(
+            f"int8-MXU column pass needs the trailing extent ({trail}) to "
+            f"be a whole number of {LANES}-lane tiles; pass an "
+            f"all-butterfly factor chain (factors=) for this shape instead")
     out = _fft_cols_df64(*(p.reshape(lead, n, trail) for p in planes),
                          tw_n=tw_n, swap_store=swap_store, **kw)
     if swap_store:

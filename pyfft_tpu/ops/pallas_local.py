@@ -1034,6 +1034,22 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
     trail = math.prod(shape[axis + 1:])
     if kw["factors"] is None:
         kw["factors"] = col_factors(n)     # measured col-kernel chains
+    if precision == "int8" and trail % lanes:
+        # the int8 stage's per-tile alignment reads max|x| over the whole
+        # lane tile; Pallas fills partial edge tiles with unspecified
+        # values, which would corrupt the tile scale (and the valid lanes
+        # with it) — mirror the row path and pad to whole tiles.
+        if swap_store or swap_mid:
+            raise ValueError("int8 precision with swap stores needs a "
+                             "lane-tile-aligned trail")
+        pad = (-trail) % lanes
+        r3 = jnp.pad(re.reshape(lead, n, trail), ((0, 0), (0, 0), (0, pad)))
+        i3 = jnp.pad(im.reshape(lead, n, trail), ((0, 0), (0, 0), (0, pad)))
+        rr, ii = _fft_cols(r3, i3, tw_n=tw_n, tw_mode=tw_mode,
+                           tw_period=tw_period, swap_store=swap_store,
+                           swap_mid=swap_mid, **kw)
+        rr, ii = rr[..., :trail], ii[..., :trail]
+        return rr.reshape(shape), ii.reshape(shape)
     if (lanes == LANES and n <= 512 and trail % 256 == 0
             and not tw_n and not swap_store and not swap_mid):
         # small-n column blocks are per-step-overhead-bound; doubling the

@@ -76,6 +76,12 @@ class Plan:
       force_xla: bypass Pallas kernels (debugging / non-TPU profiling).
       donate: reuse input buffers for outputs (in-place memory behavior;
         device-array inputs are invalidated after the call).
+
+    On TPU the first Plan also enables JAX's persistent compilation cache
+    (kernel compiles through this environment's shared service can take
+    minutes cold).  This respects a cache dir the host app configured
+    first and is idempotent; set ``PYFFT_TPU_NO_CACHE=1`` to opt out of
+    the global-config side effect entirely (see utils/cache.py).
     """
 
     def __init__(self, shape, dtype=np.complex64, *, normalize: bool = True,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["trace", "force", "time_chained", "time_scan_chain",
-           "effective_gflops"]
+           "effective_gflops", "copy_bandwidth_gbs"]
 
 
 @contextlib.contextmanager
@@ -118,3 +118,20 @@ def effective_gflops(shape, batch: int, seconds: float) -> float:
     """The reference's throughput metric: 5*N*log2(N)*batch / t (SURVEY §4)."""
     n = math.prod(shape) if not isinstance(shape, int) else shape
     return 5.0 * n * math.log2(n) * batch / seconds / 1e9
+
+
+def copy_bandwidth_gbs(mib: int = 128, trials: int = 3) -> float:
+    """Concurrently-achievable HBM streaming bandwidth (GB/s), right now.
+
+    The co-tenant load label for benchmark captures: times an elementwise
+    ``x + 1`` (read + write the full array, DCE-immune in a scan carry)
+    over a ``mib``-MiB f32 array via the scan-chain estimator.  A quiet
+    v5e measures ~78% of the 819 GB/s spec on this probe (round-2 DMA
+    study); readings far below that mean the chip is time-shared by a
+    co-tenant at capture time, so kernel rates in the same session
+    underread by roughly the same factor.
+    """
+    n = mib * (1 << 20) // 4
+    x = jnp.zeros((n // 8192, 8192), jnp.float32)
+    dt = time_scan_chain(lambda a: a + 1.0, (x,), trials=trials)
+    return 2.0 * n * 4 / dt / 1e9
