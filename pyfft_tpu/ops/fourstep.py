@@ -23,15 +23,16 @@ the GPU chain's k radix passes collapse to 2.  N up to MAX_LOCAL_N^2
 
 from __future__ import annotations
 
-
+import math
 
 import jax.numpy as jnp
 
 from pyfft_tpu.ops import pallas_local
 from pyfft_tpu.utils.radix import is_power_of_two
 
-__all__ = ["fft_axis_large", "fft_axis_huge", "choose_split",
-           "choose_split3", "supported", "supported_huge"]
+__all__ = ["fft_axis_large", "fft_axis_huge", "fft_axis_mid",
+           "choose_split", "choose_split3", "supported", "supported_huge",
+           "supported_mid"]
 
 
 # Measured per-element column-pass wall (relative units, scan-chain timed
@@ -193,6 +194,83 @@ def fft_axis_huge(re, im, sign, *, axis, postscale: float = 1.0,
     r, i = pallas_local.fft_axis(r, i, sign, axis=-2, postscale=postscale,
                                  factors=f3, interpret=interpret)
     return r.reshape(*lead, n), i.reshape(*lead, n)
+
+
+# Non-final-axis four-step: the level twiddle w_n^(k1*j2) is constant
+# across each trail run of length T, so it rides the column kernel's
+# "strided" mode — whose (n2, n1) table lives WHOLE in VMEM.  Cap its
+# footprint (two f32 planes of n elements); larger axes fall back to XLA.
+MAX_MID_TW_BYTES = 16 * 1024 * 1024
+
+
+def supported_mid(re, axis: int, max_local: int | None = None) -> bool:
+    """Whether the non-final-axis four-step covers this array/axis."""
+    if re.dtype != jnp.float32:
+        return False
+    axis = axis % re.ndim
+    if axis == re.ndim - 1:
+        return False
+    max_local = max_local or pallas_local.MAX_LOCAL_N
+    n = re.shape[axis]
+    if not (is_power_of_two(n) and max_local < n <= max_local * max_local):
+        return False
+    if n * 8 > MAX_MID_TW_BYTES:
+        return False
+    trail = math.prod(re.shape[axis + 1:])
+    if trail % pallas_local.LANES:
+        return False
+    try:
+        choose_split(n, max_local)
+    except ValueError:
+        return False
+    return True
+
+
+def fft_axis_mid(re, im, sign, *, axis, postscale: float = 1.0,
+                 max_local: int | None = None,
+                 interpret: bool | None = None, fast_math: bool = True):
+    """Four-step DFT over a NON-final axis of planar f32 arrays.
+
+    The reference ran global radix chains on Y/Z axes as strided kernels
+    (SURVEY.md §2.5 "Y/Z done as strided global-style kernels", §3.1);
+    this is the TPU-native equivalent for axis lengths beyond one VMEM
+    tile: with the data viewed as (..., n1, n2, T) — T the trailing
+    extent, a whole number of lane tiles — the transform decomposes into
+    two column passes that never touch the trailing layout:
+
+      1. col FFT over j1 with the level twiddle w_n^(k1*j2) in STRIDED
+         mode (constant across each T-run: an (n2, n1) VMEM-resident
+         table indexed by grid position) and a mid-swap store with
+         period T -> (..., j2, k1, T);
+      2. col FFT over j2 (trail n1*T), postscale folded
+         -> (..., k2, k1, T) = the DFT order along the merged axis.
+
+    Two HBM round trips, zero transposes — same pass structure as the
+    last-axis path, with the digit swap landing in the *middle* of the
+    layout via the swap_mid store.
+    """
+    axis = axis % re.ndim
+    assert axis != re.ndim - 1, "use fft_axis_large for the last axis"
+    orig_shape = re.shape
+    n = orig_shape[axis]
+    T = math.prod(orig_shape[axis + 1:])
+    n1, n2 = choose_split(n, max_local)
+    lead = orig_shape[:axis]
+    f1 = f2 = None
+    if not fast_math:
+        f1 = pallas_local.precise_factors(n1)
+        f2 = pallas_local.precise_factors(n2)
+    r = re.reshape(*lead, n1, n2 * T)
+    i = im.reshape(*lead, n1, n2 * T)
+    r, i = pallas_local.fft_axis(r, i, sign, axis=-2, tw_n=n,
+                                 tw_mode="strided", tw_period=T,
+                                 swap_mid=T, factors=f1, interpret=interpret)
+    # mid-swap output: (*lead, n2, n1, T) with digits (j2, k1)
+    r = r.reshape(*lead, n2, n1 * T)
+    i = i.reshape(*lead, n2, n1 * T)
+    r, i = pallas_local.fft_axis(r, i, sign, axis=-2, postscale=postscale,
+                                 factors=f2, interpret=interpret)
+    return r.reshape(orig_shape), i.reshape(orig_shape)
 
 
 def fft_axis_large(re, im, sign, *, axis, postscale: float = 1.0,

@@ -164,6 +164,11 @@ class Plan:
                                                  postscale=postscale,
                                                  fast_math=self.fast_math)
                 return rr, ii, True
+            if fourstep.supported_mid(re, axis):
+                rr, ii = fourstep.fft_axis_mid(re, im, sign, axis=axis,
+                                               postscale=postscale,
+                                               fast_math=self.fast_math)
+                return rr, ii, True
         if p.executor == "huge" and not self._force_xla:
             from pyfft_tpu.ops import fourstep
             if fourstep.supported_huge(re, axis):

@@ -21,6 +21,7 @@ Everything in this module is pure and cheap; it runs once per Plan.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Literal
 
 import numpy as np
@@ -162,6 +163,26 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
                     from pyfft_tpu.ops.fourstep import choose_split
                     split = choose_split(n, max_local_n)
             except ValueError:
+                passes.append(AxisPass(axis=axis, n=n, executor="xla"))
+                continue
+            passes.append(AxisPass(axis=axis, n=n, executor="fourstep",
+                                   split=split))
+        elif (pallas_ok and axis != ndim - 1
+              and max_local_n < n <= max_local_n * max_local_n):
+            # non-final axis beyond one VMEM tile: the strided-twiddle
+            # four-step (ops/fourstep.fft_axis_mid), covering the
+            # reference's Y/Z global radix chains (SURVEY §2.5).  Needs a
+            # lane-tile-aligned trailing extent and a VMEM-resident level
+            # twiddle; otherwise XLA.
+            from pyfft_tpu.ops.fourstep import (MAX_MID_TW_BYTES,
+                                                choose_split)
+            trail = math.prod(shape[axis + 1:])
+            try:
+                split = choose_split(n, max_local_n)
+            except ValueError:
+                split = None
+            if (split is None or trail % 128
+                    or n * 8 > MAX_MID_TW_BYTES):
                 passes.append(AxisPass(axis=axis, n=n, executor="xla"))
                 continue
             passes.append(AxisPass(axis=axis, n=n, executor="fourstep",

@@ -86,3 +86,67 @@ def test_planner_schedules_huge(monkeypatch):
     assert [p.executor for p in plan.passes] == ["huge"]
     plan = planner.build_plan((1 << 28,), np.complex64, on_tpu=False)
     assert [p.executor for p in plan.passes] == ["xla"]
+
+
+# ------------------------------------------------- non-final axes (r3)
+
+
+@pytest.mark.parametrize("shape,axis,max_local", [
+    ((16384, 128), 0, 128),      # 2D row axis, smallest split
+    ((4, 32768, 256), 1, 256),   # 3D middle axis with lead dim
+])
+def test_mid_axis_parity(shape, axis, max_local):
+    x = rand_complex(shape, seed=sum(shape) % 997)
+    re, im = planar(x)
+    assert fourstep.supported_mid(
+        __import__("jax.numpy", fromlist=["x"]).asarray(re), axis,
+        max_local=max_local)
+    rr, ii = fourstep.fft_axis_mid(re, im, -1, axis=axis,
+                                   max_local=max_local, interpret=True)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=axis)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_mid_axis_inverse_postscale():
+    shape, axis, n = (16384, 128), 0, 16384
+    x = rand_complex(shape, seed=77)
+    re, im = planar(x)
+    fr, fi = fourstep.fft_axis_mid(re, im, -1, axis=axis, max_local=128,
+                                   interpret=True)
+    br, bi = fourstep.fft_axis_mid(fr, fi, +1, axis=axis, max_local=128,
+                                   postscale=1.0 / n, interpret=True)
+    got = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(got, x) < TOL[np.complex64]
+
+
+def test_supported_mid_gates():
+    import jax.numpy as jnp
+    ok = jnp.zeros((16384, 128), jnp.float32)
+    assert fourstep.supported_mid(ok, 0, max_local=128)
+    # last axis is the large-path's job
+    assert not fourstep.supported_mid(ok, 1, max_local=128)
+    # trail not a whole number of lane tiles
+    assert not fourstep.supported_mid(
+        jnp.zeros((16384, 64), jnp.float32), 0, max_local=128)
+    # within the local range: not a four-step candidate
+    assert not fourstep.supported_mid(
+        jnp.zeros((1024, 128), jnp.float32), 0, max_local=8192)
+    # level twiddle would exceed its VMEM budget
+    assert not fourstep.supported_mid(
+        jnp.zeros((1 << 24, 128), jnp.float32), 0, max_local=8192)
+
+
+def test_planner_schedules_mid_axis():
+    from pyfft_tpu import planner
+
+    p = planner.build_plan((16384, 512), np.complex64, on_tpu=True)
+    assert [q.executor for q in p.passes] == ["local", "fourstep"]
+    mid = p.passes[1]
+    assert mid.axis == 0 and mid.split is not None
+    # misaligned trail: falls back to XLA rather than a broken kernel
+    p = planner.build_plan((16384, 64), np.complex64, on_tpu=True)
+    assert [q.executor for q in p.passes] == ["local", "xla"]
+    # both axes large: four-step on each, no XLA pass (VERDICT r2 item 4)
+    p = planner.build_plan((16384, 16384), np.complex64, on_tpu=True)
+    assert [q.executor for q in p.passes] == ["fourstep", "fourstep"]

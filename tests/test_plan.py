@@ -472,3 +472,22 @@ def test_plan_huge_two_level(monkeypatch):
     # the user scale folds into BOTH directions: roundtrip carries 0.25
     back = (np.asarray(br) + 1j * np.asarray(bi)) * 4.0
     assert rel_err(back, x) < TOL[np.complex64]
+
+
+def test_mid_axis_fourstep_plan(monkeypatch):
+    """A large NON-final axis rides the strided-twiddle four-step — no
+    XLA pass anywhere in the plan (VERDICT r2 item 4; interpret on CPU)."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    plan = Plan((16384, 512))
+    assert [p.executor for p in plan._exec_plan.passes] == \
+        ["local", "fourstep"]
+    x = rand_complex((16384, 512), seed=41)
+    rr, ii = plan.execute(np.real(x).astype(np.float32),
+                          np.imag(x).astype(np.float32))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x.astype(np.complex128))
+    assert rel_err(got, ref) < TOL[np.complex64]
+    br, bi = plan.execute(rr, ii, inverse=True)
+    rt = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(rt, x) < TOL[np.complex64]
