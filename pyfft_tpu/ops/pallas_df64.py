@@ -38,9 +38,10 @@ from pyfft_tpu.ops.df64 import df64_const, df_add, df_cmul, df_scale_pow2
 from pyfft_tpu.ops.pallas_local import LANES, _interpret_default
 from pyfft_tpu.utils.radix import is_power_of_two
 
-__all__ = ["supported", "fft_axis_df64", "fft_axis_large_df64",
-           "MAX_LOCAL_N_DF64", "tile_fft_df64", "default_factors_df64",
-           "mxu_factors_df64"]
+__all__ = ["supported", "supported_huge", "fft_axis_df64",
+           "fft_axis_large_df64", "fft_axis_huge_df64",
+           "MAX_LOCAL_N_DF64", "HUGE_MAX_F_DF64", "tile_fft_df64",
+           "default_factors_df64", "mxu_factors_df64"]
 # Compile-safety ceilings measured on v5e.  The round-1 limits (row/col
 # n <= 2048, tw+swap n <= 1024) were set by the all-butterfly chains'
 # register spills; the int8-MXU tail chains (now the default) hold far
@@ -51,6 +52,10 @@ __all__ = ["supported", "fft_axis_df64", "fft_axis_large_df64",
 # digit-swap pass of the old three-pass form is gone).
 MAX_LOCAL_N_DF64 = 4096
 SWAP_MAX_DF64 = 2048
+# Largest per-pass factor in the two-level (six-step) df64 chain: every
+# pass there carries a fused twiddle and/or swap store, so stay at the
+# measured tw+swap ceiling rather than the plain row/col 4096.
+HUGE_MAX_F_DF64 = 2048
 _MIN_N = 8
 
 
@@ -309,8 +314,8 @@ def _row_kernel_df64(n, layout, postscale, factors, sign, *refs):
         o[:] = p.T
 
 
-def _col_kernel_df64(n, layout, postscale, factors, sign, has_tw, swap,
-                     *refs):
+def _col_kernel_df64(n, layout, postscale, factors, sign, tw_kind, tw_qdiv,
+                     swap, swap_mid, *refs):
     nt = sum(arity for _, arity in layout)
     tables = {}
     pos = 0
@@ -318,20 +323,47 @@ def _col_kernel_df64(n, layout, postscale, factors, sign, has_tw, swap,
         tables[k] = tuple(refs[pos + j][:] for j in range(arity))
         pos += arity
     pos = nt
-    tw = None
-    if has_tw:
+    tw = tb = None
+    if tw_kind in ("full", "strided"):
         tw = tuple(refs[pos + j] for j in range(4))
         pos += 4
+    elif tw_kind == "factored":
+        tw = tuple(refs[pos + j] for j in range(4))
+        tb = tuple(refs[pos + 4 + j] for j in range(4))
+        pos += 8
     ins = refs[pos:pos + 4]
     outs = refs[pos + 4:pos + 8]
     x = tuple(r[0] for r in ins)
     x = tile_fft_df64(x, tables, n, factors, sign)
-    if has_tw:
+    if tw_kind == "full":
+        # fused inter-pass twiddle: T[k, j2] with j2 = this tile's lanes
         x = df_cmul(x[0], x[1], x[2], x[3],
                     tw[0][:], tw[1][:], tw[2][:], tw[3][:])
+    elif tw_kind == "strided":
+        # twiddle constant across each lane tile: one row of the
+        # transposed-resident (Q, n) tables, selected by the grid index
+        # (the multi-level inner-pass form — see the c64 _col_kernel)
+        q = pl.program_id(1) // tw_qdiv
+        trh, trl, tih, til = (t[pl.ds(q, 1), :].T for t in tw)   # (n, 1)
+        x = df_cmul(x[0], x[1], x[2], x[3], trh, trl, tih, til)
+    elif tw_kind == "factored":
+        # T[k, q*lanes + r] = A[k, q] * B[k, r]: phases add exactly, the
+        # df64 product costs one ~2^-48 rounding — far inside the 1e-11
+        # gate.  A transposed-resident (Q, n) quad, B an (n, lanes) quad.
+        q = pl.program_id(1)
+        arh, arl, aih, ail = (t[pl.ds(q, 1), :].T for t in tw)   # (n, 1)
+        brh, brl, bih, bil = (t[:] for t in tb)
+        trh, trl, tih, til = df_cmul(arh, arl, aih, ail,
+                                     brh, brl, bih, bil)
+        x = df_cmul(x[0], x[1], x[2], x[3], trh, trl, tih, til)
     x = _apply_post(x, postscale)
     for o, p in zip(outs, x):
-        o[0] = p.T if swap else p
+        if swap:
+            o[0] = p.T
+        elif swap_mid:
+            o[0, 0] = p
+        else:
+            o[0] = p
 
 
 def _vmem_params():
@@ -375,12 +407,32 @@ def _fft_rows_df64(rh, rl, ih, il, *, n, sign, postscale, interpret,
         )(*flat, rh, rl, ih, il)
 
 
+def _df64_quad(cos_f64: np.ndarray, sin_f64: np.ndarray,
+               transpose: bool = False):
+    """[cos_hi, cos_lo, sin_hi, sin_lo] f32 arrays from f64 tables."""
+    out = []
+    for tab in (cos_f64, sin_f64):
+        hi, lo = df64_const(tab)
+        if transpose:
+            hi, lo = hi.T.copy(), lo.T.copy()
+        out += [jnp.asarray(hi), jnp.asarray(lo)]
+    return out
+
+
+def _phases(rows, cols, tw_n, sign, col_stride: int = 1):
+    r = np.arange(rows, dtype=np.int64)[:, None]
+    c = (np.arange(cols, dtype=np.int64) * col_stride) % tw_n
+    ang = sign * 2.0 * np.pi * ((r * c) % tw_n) / tw_n
+    return np.cos(ang), np.sin(ang)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "lanes", "tw_n",
-    "swap_store"))
+    "tw_mode", "tw_period", "swap_store", "swap_mid"))
 def _fft_cols_df64(rh, rl, ih, il, *, n, sign, postscale, interpret,
                    factors=None, lanes=LANES, tw_n: int = 0,
-                   swap_store: bool = False):
+                   tw_mode: str = "full", tw_period: int = 0,
+                   swap_store: bool = False, swap_mid: int = 0):
     with jax.enable_x64(False):
         factors = tuple(factors or default_factors_df64(n))
         tables = needed_tables_df64(n, sign, factors)
@@ -391,28 +443,57 @@ def _fft_cols_df64(rh, rl, ih, il, *, n, sign, postscale, interpret,
         tspec = [pl.BlockSpec(a.shape, lambda i, j, _nd=a.ndim: (0,) * _nd,
                               memory_space=pltpu.VMEM) for a in flat]
         extra = []
-        if tw_n:
-            k = np.arange(n).reshape(-1, 1)
-            j = np.arange(T).reshape(1, -1)
-            ang = sign * 2.0 * np.pi * (k * j % tw_n) / tw_n
-            for tab in (np.cos(ang), np.sin(ang)):
-                hi, lo = df64_const(tab)
-                extra += [jnp.asarray(hi), jnp.asarray(lo)]
-            # order: trh, trl, tih, til
-            extra = [extra[0], extra[1], extra[2], extra[3]]
+        tw_kind = None
+        if tw_n and tw_mode == "full":
+            tw_kind = "full"
+            extra = _df64_quad(*_phases(n, T, tw_n, sign))
             tspec = tspec + [pl.BlockSpec((n, lanes), lambda i, j: (0, j),
+                                          memory_space=pltpu.VMEM)] * 4
+        elif tw_n and tw_mode == "factored":
+            tw_kind = "factored"
+            # A stored transposed (T/lanes, n), resident whole (Mosaic
+            # rejects (n, 1) minor-dim blocks; a sublane-dim slice is free)
+            extra = (_df64_quad(*_phases(n, T // lanes, tw_n, sign, lanes),
+                                transpose=True)
+                     + _df64_quad(*_phases(n, lanes, tw_n, sign)))
+            tspec = tspec + [pl.BlockSpec((T // lanes, n),
+                                          lambda i, j: (0, 0),
+                                          memory_space=pltpu.VMEM)] * 4 \
+                          + [pl.BlockSpec((n, lanes), lambda i, j: (0, 0),
+                                          memory_space=pltpu.VMEM)] * 4
+        elif tw_n:
+            assert tw_mode == "strided", tw_mode
+            tw_kind = "strided"
+            assert tw_period % lanes == 0 and T % tw_period == 0, \
+                (tw_period, lanes, T)
+            extra = _df64_quad(*_phases(n, T // tw_period, tw_n, sign),
+                               transpose=True)
+            tspec = tspec + [pl.BlockSpec((T // tw_period, n),
+                                          lambda i, j: (0, 0),
                                           memory_space=pltpu.VMEM)] * 4
         dspec = pl.BlockSpec((1, n, lanes), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
         if swap_store:
+            assert not swap_mid
             ospec = pl.BlockSpec((1, lanes, n), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
             oshape = (jax.ShapeDtypeStruct((L, T, n), jnp.float32),) * 4
+        elif swap_mid:
+            assert swap_mid % lanes == 0 and T % swap_mid == 0, (swap_mid, T)
+            kq = swap_mid // lanes
+            ospec = pl.BlockSpec(
+                (1, 1, n, lanes),
+                lambda i, j, _k=kq: (i, j // _k, 0, j % _k),
+                memory_space=pltpu.VMEM)
+            oshape = (jax.ShapeDtypeStruct((L, T // swap_mid, n, swap_mid),
+                                           jnp.float32),) * 4
         else:
             ospec = dspec
             oshape = (jax.ShapeDtypeStruct((L, n, T), jnp.float32),) * 4
+        tw_qdiv = max(1, tw_period // lanes) if tw_kind == "strided" else 1
         kern = functools.partial(_col_kernel_df64, n, layout, postscale,
-                                 factors, sign, bool(tw_n), swap_store)
+                                 factors, sign, tw_kind, tw_qdiv,
+                                 swap_store, bool(swap_mid))
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -442,6 +523,8 @@ def supported(rh, axis: int, max_local: int | None = None) -> bool:
     elif max_local < n <= max_local * max_local and axis == rh.ndim - 1:
         n1, n2 = _choose_split_df64(n, max_local)
         return LANES <= n1 <= max_local and LANES <= n2 <= max_local
+    elif n > max_local * max_local and axis == rh.ndim - 1:
+        return supported_huge(rh, axis)
     else:
         return False
     if axis == rh.ndim - 1:
@@ -450,9 +533,29 @@ def supported(rh, axis: int, max_local: int | None = None) -> bool:
     return trail >= LANES
 
 
+def supported_huge(rh, axis: int, max_f: int | None = None) -> bool:
+    """Whether the two-level df64 chain covers this plane/axis."""
+    if rh.dtype != jnp.float32:
+        return False
+    axis = axis % rh.ndim
+    if axis != rh.ndim - 1:
+        return False
+    n = rh.shape[axis]
+    if not (is_power_of_two(n)
+            and n > MAX_LOCAL_N_DF64 * MAX_LOCAL_N_DF64):
+        return False
+    from pyfft_tpu.ops.fourstep import choose_split3
+    try:
+        choose_split3(n, max_f or HUGE_MAX_F_DF64)
+    except ValueError:
+        return False
+    return True
+
+
 def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
                   interpret: bool | None = None, factors=None,
-                  tw_n: int = 0, swap_store: bool = False,
+                  tw_n: int = 0, tw_mode: str = "full", tw_period: int = 0,
+                  swap_store: bool = False, swap_mid: int = 0,
                   fast_math: bool = True):
     """DFT along ``axis`` of a complex-df64 planar quad (rh, rl, ih, il).
 
@@ -479,7 +582,7 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
               interpret=bool(interpret), factors=factors)
     shape = rh.shape
     if axis == rh.ndim - 1:
-        assert not tw_n and not swap_store
+        assert not tw_n and not swap_store and not swap_mid
         lead = shape[:-1]
         rows = math.prod(lead) if lead else 1
         pad = (-rows) % LANES if has_mxu else 0
@@ -505,9 +608,13 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
             f"be a whole number of {LANES}-lane tiles; pass an "
             f"all-butterfly factor chain (factors=) for this shape instead")
     out = _fft_cols_df64(*(p.reshape(lead, n, trail) for p in planes),
-                         tw_n=tw_n, swap_store=swap_store, **kw)
+                         tw_n=tw_n, tw_mode=tw_mode, tw_period=tw_period,
+                         swap_store=swap_store, swap_mid=swap_mid, **kw)
     if swap_store:
         oshape = shape[:axis] + shape[axis + 1:] + (n,)
+        return tuple(p.reshape(oshape) for p in out)
+    if swap_mid:
+        oshape = shape[:axis] + (trail // swap_mid, n, swap_mid)
         return tuple(p.reshape(oshape) for p in out)
     return tuple(p.reshape(shape) for p in out)
 
@@ -557,3 +664,49 @@ def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
     x = fft_axis_df64(x, sign, axis=-1, postscale=postscale,
                       interpret=interpret, fast_math=fast_math)
     return tuple(jnp.swapaxes(p, -1, -2).reshape(*lead, n) for p in x)
+
+
+def fft_axis_huge_df64(planes, sign, *, axis, postscale: float = 1.0,
+                       max_f: int | None = None,
+                       interpret: bool | None = None,
+                       fast_math: bool = True):
+    """Two-level (six-step) df64 DFT for n beyond one four-step level.
+
+    The c128 analog of ops/fourstep.fft_axis_huge — the reference's
+    double path had no upper bound (SURVEY §2.9-bis), and neither does
+    this chain in principle (max_f^3 = 2^33 points, beyond any HBM):
+
+      n = n1*m1*m2, view (..., n1, m1*m2):
+      1. col FFT over j1 + FACTORED level-1 twiddle w_n^(k1*j2)
+         (A/B df64 quads, O(n1*n2/128) memory), digit-swap store
+         -> (..., m1, m2, k1)
+      2. col FFT over i1 + STRIDED level-2 twiddle w_{m1*m2}^(q1*i2)
+         (constant per lane tile), mid-swap store with period n1
+         -> (..., m2, q1, k1)
+      3. col FFT over i2, postscale folded -> flattened DFT order.
+
+    Every pass carries a fused twiddle or swap, so factors stay at the
+    measured df64 tw+swap compile ceiling (HUGE_MAX_F_DF64).
+    """
+    from pyfft_tpu.ops.fourstep import choose_split3
+    rh = planes[0]
+    axis = axis % rh.ndim
+    assert axis == rh.ndim - 1, "huge path covers the last axis"
+    n = rh.shape[-1]
+    n1, m1, m2 = choose_split3(n, max_f or HUGE_MAX_F_DF64)
+    n2 = m1 * m2
+    lead = rh.shape[:-1]
+    x = tuple(p.reshape(*lead, n1, n2) for p in planes)
+    x = fft_axis_df64(x, sign, axis=-2, tw_n=n, tw_mode="factored",
+                      swap_store=True, interpret=interpret,
+                      fast_math=fast_math)
+    # now (..., j2, k1) = (..., m1, m2*n1) viewing j2 = i1*m2 + i2
+    x = tuple(p.reshape(*lead, m1, m2 * n1) for p in x)
+    x = fft_axis_df64(x, sign, axis=-2, tw_n=n2, tw_mode="strided",
+                      tw_period=n1, swap_mid=n1, interpret=interpret,
+                      fast_math=fast_math)
+    # mid-swap output: (..., m2, m1, n1) = (i2, q1, k1)
+    x = tuple(p.reshape(*lead, m2, m1 * n1) for p in x)
+    x = fft_axis_df64(x, sign, axis=-2, postscale=postscale,
+                      interpret=interpret, fast_math=fast_math)
+    return tuple(p.reshape(*lead, n) for p in x)

@@ -199,7 +199,7 @@ class Plan:
             passes = self._exec_plan.passes
             probe = jax.ShapeDtypeStruct(re.shape, jnp.float32)
             for p in passes:
-                if p.executor not in ("local", "fourstep"):
+                if p.executor not in ("local", "fourstep", "huge"):
                     return None
                 axis = re.ndim - ndim + p.axis
                 if not pallas_df64.supported(probe, axis):
@@ -210,7 +210,11 @@ class Plan:
             for idx, p in enumerate(passes):
                 post = norm if idx == len(passes) - 1 else 1.0
                 axis = re.ndim - ndim + p.axis
-                if p.executor == "fourstep":
+                if p.executor == "huge":
+                    planes = pallas_df64.fft_axis_huge_df64(
+                        planes, sign, axis=axis, postscale=post,
+                        fast_math=self.fast_math)
+                elif p.executor == "fourstep":
                     planes = pallas_df64.fft_axis_large_df64(
                         planes, sign, axis=axis, postscale=post,
                         fast_math=self.fast_math)

@@ -135,13 +135,19 @@ def build_plan(shape: tuple[int, ...], dtype, *, on_tpu: bool,
         n = shape[axis]
         if kernels_ok and _local_fits(n, itemsize) and n <= max_local_n:
             passes.append(AxisPass(axis=axis, n=n, executor="local"))
-        elif (pallas_ok and axis == ndim - 1
+        elif (kernels_ok and axis == ndim - 1
               and n > max_local_n * max_local_n):
             # beyond one four-step level: the two-level (six-step) chain
-            # (c64 only; c128 huge sizes exceed HBM anyway)
+            # (c64 via ops/fourstep; c128 via the df64 twin, whose factors
+            # stay at the tw+swap compile ceiling)
             from pyfft_tpu.ops.fourstep import choose_split3
+            if pallas_df64_ok:
+                from pyfft_tpu.ops.pallas_df64 import HUGE_MAX_F_DF64
+                cap = HUGE_MAX_F_DF64
+            else:
+                cap = max_local_n
             try:
-                choose_split3(n, max_local_n)
+                choose_split3(n, cap)
             except ValueError:
                 passes.append(AxisPass(axis=axis, n=n, executor="xla"))
                 continue

@@ -170,3 +170,32 @@ def test_df64_int8_mxu_wide_dynamic_range():
     # spent (absolute floor ~2^-46 of the tile max): assert the contract
     # gate, not the quiet-data figure
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+
+
+def test_df64_huge_two_level_parity():
+    """Two-level (six-step) df64 chain: c128 beyond one four-step level
+    (VERDICT r2 item 5), at a forced-small max_f so the three passes —
+    factored twiddle + swap, strided twiddle + mid-swap, plain — all run
+    at CPU test sizes."""
+    n = 1 << 21
+    x = _rand((n,), 23) + 1j * _rand((n,), 24)
+    out = pallas_df64.fft_axis_huge_df64(_quad(x), -1, axis=-1, max_f=128,
+                                         postscale=0.5, interpret=True)
+    got = _unquad(out) * 2.0
+    ref = np.fft.fft(x)
+    # the three-level chain (factored-twiddle df64 product + two fused
+    # twiddle layers) lands at ~1.1e-12 — 9x inside the 1e-11 gate
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-12
+    # inverse through the same machinery
+    back = pallas_df64.fft_axis_huge_df64(out, +1, axis=-1, max_f=128,
+                                          postscale=1.0 / n, interpret=True)
+    rt = _unquad(back) * 2.0
+    assert np.abs(rt - x).max() / np.abs(x).max() < 3e-12
+
+
+def test_df64_planner_schedules_huge():
+    """c128 beyond 2^24 gets the huge executor (no XLA cliff)."""
+    from pyfft_tpu import planner
+
+    p = planner.build_plan((1 << 26,), np.complex128, on_tpu=True)
+    assert [q.executor for q in p.passes] == ["huge"]
