@@ -91,16 +91,22 @@ def stage_cost(f: int) -> int:
     return 4 * f if f >= 64 else 16384 // f
 
 
-# Column-kernel factor overrides (scan-chain measured, v5e round 2):
+# Column-kernel factor overrides (scan-chain measured, v5e round 2-3):
 # at n=2048 the parity rule's 128-wide MXU stage makes the column kernel
 # compute-bound (1.56 ms vs 1.22 for a 32-wide stage on the 2^22 four-step
 # shape); the row kernel at the same n prefers the production chain.
-COL_FACTORS = {2048: (4, 4, 4, 32)}
+# n=1024/4096: radix-8 + folded-twiddle chains measured 14%/22% faster
+# than the radix-4 chains on the 2^22 four-step shapes (probe_fold2, r3;
+# col1024 (8,2,64) reached 0.93x of the concurrent copy bandwidth).
+COL_FACTORS = {2048: (4, 4, 4, 32), 1024: (8, 2, 64), 4096: (8, 8, 64)}
 
-# Row-kernel overrides (autotune-measured, v5e round 2): a late radix-2
+# Row-kernel overrides (autotune-measured, v5e round 2-3): a late radix-2
 # ahead of a 64-wide MXU stage beats the parity rule's 128-wide stage by
 # 46% at n=2048 (0.283 vs 0.414 ms on the 2^23-element tuned shape).
-ROW_FACTORS = {2048: (4, 4, 2, 64)}
+# n=4096: radix-8 butterflies + folded last twiddle measured 0.607 ms
+# vs 0.756 (fold-4.4.4.64) / 0.786 (unfolded) in the same load window —
+# fewer VPU stage/twiddle rounds, the measured wall (probe_fold, r3).
+ROW_FACTORS = {2048: (4, 4, 2, 64), 4096: (8, 8, 64)}
 
 # Autotuned overrides (utils/tune.autotune persists measured winners per
 # machine); consulted before the static tables.
@@ -158,8 +164,24 @@ def default_factors(n: int) -> tuple[int, ...]:
 # Factors executed as exact VPU butterflies (twiddle-free add/sub chains)
 # instead of DFT-matrix contractions: a 2- or 4-point "matmul" would run
 # the 128x128 systolic array at <0.1% occupancy, while the butterfly is a
-# handful of f32 adds per element on the VPU — and exact (no bf16 passes).
-VPU_RADICES = (2, 4)
+# handful of f32 adds per element on the VPU.  Radix-8 is a fused 2x4
+# chain with the w8 twiddle constants inlined (two sqrt(2)/2 roundings
+# per 8 outputs — far under the 2e-6 gate): one fewer stage round and one
+# fewer inter-stage twiddle/materialization round than 4,4 — the VPU
+# data-movement rounds, not the adds, are what the r3 probes measured as
+# the headline kernel's wall (benchmarks/probe_headline*.py).
+VPU_RADICES = (2, 4, 8)
+
+# Fold the twiddle between the last butterfly stage and the final MXU
+# stage into per-digit DFT matrices: T[k_prev, j] depends only on the
+# previous stage's digit and the MXU stage's input index, so the single
+# stacked contraction becomes f_prev contractions with W_j = W * diag(T[j])
+# (same MXU madds — each slice is 1/f_prev of the tile — and one entire
+# VPU twiddle round is gone; host-folded in f64, so one FEWER f32
+# rounding).  Module-level so every kernel (row/col/swap/fused2d) builds
+# the same tables; flip only at process start (jit caches key on factors,
+# not this flag).
+FOLD_LAST_TW = True
 
 # Largest axis for the butterfly-only (fast_math=False) factor chains: the
 # same compile-safety consideration as the df64 kernels' 2048 ceiling —
@@ -215,6 +237,15 @@ def _int8_chunks_np(x: np.ndarray, shifts) -> tuple[np.ndarray, ...]:
     return tuple(out)
 
 
+def _fold_applies(factors, stacked: bool, precision: str) -> bool:
+    """Whether the last inter-stage twiddle folds into the final MXU stage
+    (see FOLD_LAST_TW): final factor is a stacked-matrix contraction, at
+    least one stage precedes it, and the per-digit table count is small."""
+    return (FOLD_LAST_TW and stacked and precision != "int8"
+            and len(factors) >= 2 and factors[-1] not in VPU_RADICES
+            and factors[-2] <= 8)
+
+
 def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
                   stacked: bool = True, precision: str = _PRECISION) -> dict:
     """Ordered {key: (real, imag)} numpy tables for a length-n tile FFT.
@@ -225,12 +256,29 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
     VPU-butterfly factors need no DFT matrix, only inter-stage twiddles.
     ``precision="int8"`` stores the stacked matrix as 3 int8 channels
     instead (exact quantized products — see _I8_* constants).
+    When the fold applies (FOLD_LAST_TW), the last twiddle round is
+    pre-multiplied into f_prev per-digit stacked matrices on the host
+    (f64-exact, rounded once).
     """
     factors = tuple(factors or default_factors(n))
     assert math.prod(factors) == n
     m = len(factors)
+    fold = _fold_applies(factors, stacked, precision)
     tables: dict = {}
     for i, f in enumerate(factors):
+        if fold and i == m - 1:
+            wr, wi = dft_matrix(f, sign, np.float64)
+            f_prev = factors[m - 2]
+            tr, ti = twiddle_table(f_prev, f, f_prev * f, sign, np.float64)
+            mats = []
+            for j in range(f_prev):
+                # W_j[k, i] = W[k, i] * T[j, i]: scale W's columns
+                wjr = wr * tr[j][None, :] - wi * ti[j][None, :]
+                wji = wr * ti[j][None, :] + wi * tr[j][None, :]
+                mats.append(np.block([[wjr, -wji],
+                                      [wji, wjr]]).astype(dtype))
+            tables[("dftsfold", factors)] = tuple(mats)
+            continue
         if f not in VPU_RADICES:
             wr, wi = dft_matrix(f, sign, np.float64)
             if precision == "int8":
@@ -243,7 +291,7 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
             else:
                 tables.setdefault(("dft", f),
                                   (wr.astype(dtype), wi.astype(dtype)))
-        if i < m - 1:
+        if i < m - 1 and not (fold and i == m - 2):
             rest = factors[i + 1:]
             r = math.prod(rest)
             tr, ti = twiddle_table(f, r, f * r, sign, dtype)
@@ -252,8 +300,26 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
     return tables
 
 
+def _fft4_lists(rs, ms, sign):
+    """4-point DFT of 4 (re, im) slice pairs; returns output lists."""
+    ar, ai = rs[0] + rs[2], ms[0] + ms[2]
+    br, bi = rs[0] - rs[2], ms[0] - ms[2]
+    cr, ci = rs[1] + rs[3], ms[1] + ms[3]
+    dr, di = rs[1] - rs[3], ms[1] - ms[3]
+    if sign < 0:     # forward: y1 = b - i*d, y3 = b + i*d
+        yr = [ar + cr, br + di, ar - cr, br - di]
+        yi = [ai + ci, bi - dr, ai - ci, bi + dr]
+    else:
+        yr = [ar + cr, br - di, ar - cr, br + di]
+        yi = [ai + ci, bi + dr, ai - ci, bi - dr]
+    return yr, yi
+
+
+_SQRT1_2 = float(np.float32(np.sqrt(0.5)))
+
+
 def _butterfly(f, xr, xi, axis, sign):
-    """f-point DFT over ``axis`` as exact VPU add/sub chains (f in 2, 4).
+    """f-point DFT over ``axis`` as exact VPU add/sub chains (f in 2,4,8).
 
     The output digit is prepended at axis 0 with ``axis`` consumed —
     the same index convention as the dot_general stages, so butterfly and
@@ -265,16 +331,30 @@ def _butterfly(f, xr, xi, axis, sign):
         yr = [rs[0] + rs[1], rs[0] - rs[1]]
         yi = [ms[0] + ms[1], ms[0] - ms[1]]
     elif f == 4:
-        ar, ai = rs[0] + rs[2], ms[0] + ms[2]
-        br, bi = rs[0] - rs[2], ms[0] - ms[2]
-        cr, ci = rs[1] + rs[3], ms[1] + ms[3]
-        dr, di = rs[1] - rs[3], ms[1] - ms[3]
-        if sign < 0:     # forward: y1 = b - i*d, y3 = b + i*d
-            yr = [ar + cr, br + di, ar - cr, br - di]
-            yi = [ai + ci, bi - dr, ai - ci, bi + dr]
+        yr, yi = _fft4_lists(rs, ms, sign)
+    elif f == 8:
+        # 8 = 2 x 4 fused: radix-2 over the high input digit, the w8^j2
+        # twiddle inlined as constants (1, c(1∓i), ∓i, -c(1±i) with
+        # c = sqrt(1/2)), then two 4-point DFTs; outputs interleave as
+        # k = k2*2 + k1 — the standard from-the-left digit order.
+        er = [rs[j] + rs[4 + j] for j in range(4)]
+        ei = [ms[j] + ms[4 + j] for j in range(4)]
+        or_ = [rs[j] - rs[4 + j] for j in range(4)]
+        oi_ = [ms[j] - ms[4 + j] for j in range(4)]
+        c = _SQRT1_2
+        if sign < 0:
+            # w8^1 = c(1-i): (r+i*m)*(c-ic) = c(r+m) + i c(m-r)
+            or_[1], oi_[1] = c * (or_[1] + oi_[1]), c * (oi_[1] - or_[1])
+            or_[2], oi_[2] = oi_[2], -or_[2]                  # * -i
+            or_[3], oi_[3] = c * (oi_[3] - or_[3]), -c * (or_[3] + oi_[3])
         else:
-            yr = [ar + cr, br - di, ar - cr, br + di]
-            yi = [ai + ci, bi + dr, ai - ci, bi - dr]
+            or_[1], oi_[1] = c * (or_[1] - oi_[1]), c * (oi_[1] + or_[1])
+            or_[2], oi_[2] = -oi_[2], or_[2]                  # * +i
+            or_[3], oi_[3] = -c * (or_[3] + oi_[3]), c * (or_[3] - oi_[3])
+        ar, ai = _fft4_lists(er, ei, sign)    # k1 = 0
+        br, bi = _fft4_lists(or_, oi_, sign)  # k1 = 1
+        yr = [p for pair in zip(ar, br) for p in pair]
+        yi = [p for pair in zip(ai, bi) for p in pair]
     else:
         raise ValueError(f"unsupported butterfly radix {f}")
     return jnp.stack(yr, axis=0), jnp.stack(yi, axis=0)
@@ -366,9 +446,27 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
     assert re.shape == (n, lanes), (re.shape, n)
     factors = tuple(factors or default_factors(n))
     m = len(factors)
+    fold = ("dftsfold", factors) in tables
     xr = re.reshape(*factors, lanes)
     xi = im.reshape(*factors, lanes)
     for i, f in enumerate(factors):
+        if fold and i == m - 1:
+            # folded final stage: the last twiddle round is baked into
+            # per-digit matrices W_j (j = the previous stage's digit,
+            # living at axis 0); same MXU madds split across f_prev
+            # contractions, one whole VPU twiddle round saved.
+            mats = tables[("dftsfold", factors)]
+            yr, yi = [], []
+            for j in range(len(mats)):
+                xr_j = jax.lax.index_in_dim(xr, j, 0, keepdims=False)
+                xi_j = jax.lax.index_in_dim(xi, j, 0, keepdims=False)
+                xs = jnp.concatenate([xr_j, xi_j], axis=i - 1)
+                y = _dg(mats[j], xs, i - 1, precision)
+                yr.append(y[:f])
+                yi.append(y[f:])
+            xr = jnp.stack(yr, axis=1)
+            xi = jnp.stack(yi, axis=1)
+            break
         if f in VPU_RADICES:
             xr, xi = _butterfly(f, xr, xi, i, sign)
         elif precision == "int8":
@@ -381,7 +479,7 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
         else:
             wr, wi = tables[("dft", f)]
             xr, xi = _cdot(wr, wi, xr, xi, i, precision)
-        if i < m - 1:
+        if i < m - 1 and not (fold and i == m - 2):
             twr, twi = tables[("tw", i, factors)]
             xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
     return xr.reshape(n, lanes), xi.reshape(n, lanes)

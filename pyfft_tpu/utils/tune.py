@@ -38,21 +38,36 @@ def load_tuned() -> dict:
 
 
 def _candidates(n: int):
-    """Chain candidates for length n (power of two, >= 64)."""
-    from pyfft_tpu.ops.pallas_local import default_factors
+    """Chain candidates for length n (power of two, >= 64): radix-4 and
+    radix-8 butterfly prefixes ahead of each viable MXU width (radix-8 +
+    the folded last twiddle won the r3 headline probes by ~25%)."""
+    from pyfft_tpu.ops.pallas_local import default_factors, row_factors
     p = n.bit_length() - 1
     cands = [default_factors(n)]
+    for static in (row_factors(n),):
+        if static not in cands:
+            cands.append(static)
     for mxu in (32, 64, 128):
         mp = mxu.bit_length() - 1
         r = p - mp
         if r < 0 or mxu > n:
             continue
+        opts = []
         if r % 2 == 0:
-            c = (4,) * (r // 2) + (mxu,)
+            opts.append((4,) * (r // 2) + (mxu,))
         else:
-            c = (4,) * (r // 2) + (2, mxu)
-        if c not in cands:
-            cands.append(c)
+            opts.append((4,) * (r // 2) + (2, mxu))
+        # radix-8-heavy prefixes: fewest butterfly stage/twiddle rounds
+        a, rem = divmod(r, 3)
+        if rem == 0:
+            opts.append((8,) * a + (mxu,))
+        elif rem == 1 and a >= 1:
+            opts.append((8,) * (a - 1) + (4, 4) + (mxu,))
+        elif rem == 2:
+            opts.append((8,) * a + (4, mxu))
+        for c in opts:
+            if c not in cands:
+                cands.append(c)
     return cands
 
 

@@ -176,3 +176,51 @@ def test_int8_precision_mode(n, rows):
     got = np.asarray(rr) + 1j * np.asarray(ii)
     ref = np.fft.fft(x.astype(np.complex128), axis=-1)
     assert rel_err(got, ref) < TOL[np.complex64]
+
+
+@pytest.mark.parametrize("factors", [
+    (8, 8), (8, 64), (2, 8, 16), (8, 8, 64), (8, 4, 2, 8)])
+def test_tile_fft_radix8(factors):
+    """Radix-8 fused butterflies compose with every other stage kind
+    (r3 headline work: fewer VPU stage rounds than 4,4)."""
+    import jax.numpy as jnp
+    import math
+    n = math.prod(factors)
+    x = rand_complex((n, 8), seed=n + 3)
+    for sign, ref in ((-1, np.fft.fft), (+1, np.fft.ifft)):
+        tables = {k: tuple(jnp.asarray(a) for a in v)
+                  for k, v in needed_tables(n, sign,
+                                            factors=factors).items()}
+        re, im = planar(x)
+        rr, ii = tile_fft(jnp.asarray(re), jnp.asarray(im), tables, n,
+                          factors=factors, sign=sign)
+        got = np.asarray(rr) + 1j * np.asarray(ii)
+        want = ref(x.astype(np.complex128), axis=0)
+        if sign > 0:
+            want = want * n      # tile level is unnormalized
+        assert rel_err(got, want) < TOL[np.complex64]
+
+
+@pytest.mark.parametrize("factors", [(4, 64), (4, 4, 4, 64), (8, 8, 64),
+                                     (2, 4, 64), (8, 128)])
+def test_tile_fft_fold_last_twiddle(factors):
+    """FOLD_LAST_TW bakes the final twiddle round into per-digit MXU
+    matrices — bit-identical layout, parity within the gate, and the
+    fold tables actually engage."""
+    import jax.numpy as jnp
+    import math
+    from pyfft_tpu.ops import pallas_local as pk
+    n = math.prod(factors)
+    x = rand_complex((n, 8), seed=n + 5)
+    assert pk.FOLD_LAST_TW, "suite assumes the fold is the default"
+    tables_np = needed_tables(n, -1, factors=factors)
+    assert ("dftsfold", tuple(factors)) in tables_np
+    assert ("tw", len(factors) - 2, tuple(factors)) not in tables_np
+    tables = {k: tuple(jnp.asarray(a) for a in v)
+              for k, v in tables_np.items()}
+    re, im = planar(x)
+    rr, ii = tile_fft(jnp.asarray(re), jnp.asarray(im), tables, n,
+                      factors=factors)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=0)
+    assert rel_err(got, ref) < TOL[np.complex64]

@@ -1,14 +1,25 @@
-"""Performance tests — gates on TPU, smoke on CPU.
+"""Performance tests — congestion-normalized gates on TPU, smoke on CPU.
 
 The reference's ``test/test_performance.py`` only *reported* GFLOP/s
-(SURVEY.md §4); round-1 review flagged our port of that as un-gated
-("asserts gf > 0 — can never catch a regression").  This version asserts
-per-config GFLOP/s floors when running on real TPU hardware
-(``PYFFT_TPU_TEST_PLATFORM=tpu``), using the scan-chain estimator that
-survives the congested dispatch tunnel.  Floors are set at ~60-70% of the
-recorded round-2 numbers so tunnel noise can't flake the suite while any
-real executor regression (e.g. silently falling back to the XLA path)
-still fails loudly — demonstrated by ``test_gate_catches_xla_regression``.
+(SURVEY.md §4).  Round-1 review flagged the un-gated port; round-2's
+absolute GFLOP/s floors had to sit at ~half the kernels' quiet-window
+rates because the shared chip's co-tenant load halves measured throughput
+for hours at a time — a gate that loose cannot see a 2x regression in a
+loaded hour (VERDICT r2 item 6).
+
+This version gates on a **congestion-normalized ratio**: each round
+measures the concurrently-achievable HBM copy bandwidth
+(``utils.profiling.copy_bandwidth_gbs``) right next to the kernel's
+scan-chain time, and the gate asserts
+
+    kernel_io_rate / copy_bandwidth  >=  FLOOR
+
+taking the best ratio across a few tightly-interleaved rounds (the most
+favorably-aligned window).  Co-tenant time-sharing throttles both probes
+together, so the ratio survives load; a real executor regression (slower
+kernel, XLA fallback) moves only the numerator and trips the floor in
+any hour.  ``test_gate_has_teeth`` asserts the floor actually sits above
+a simulated 30%-slower kernel's ratio in the same session.
 """
 
 import math
@@ -21,22 +32,53 @@ import jax.numpy as jnp
 
 from pyfft_tpu.plan import Plan
 from pyfft_tpu.utils.profiling import (
-    effective_gflops, time_chained, time_scan_chain)
+    copy_bandwidth_gbs, effective_gflops, time_chained, time_scan_chain)
 
 _ON_TPU = jax.default_backend() in ("tpu", "axon")
 
+# Ratio floors, calibrated from the round-2/3 measured record:
+# * headline row kernel (1 pass, 4 plane-moves): ~88-90% of spec HBM in
+#   quiet windows vs the copy probe's ~78% -> untouched ratio ~1.05-1.15;
+#   a 30% slowdown reads ~0.74-0.81.
+# * four-step (2 passes, 8 plane-moves): col passes do not hide compute
+#   yet (ROADMAP), untouched ~0.42-0.50; 30% slower ~0.30-0.35.
+_HEADLINE_FLOOR = 0.85
+_FOURSTEP_FLOOR = 0.33
+# Secondary absolute escape hatch: a quiet-window reading this high is
+# accepted even if the copy probe misbehaved (ratio denominators can be
+# noisy under bursty load).  Set ABOVE quiet-rate minus 30% so a real
+# regression cannot sneak through it.
+_HEADLINE_ABS_GF = 2300.0
+_FOURSTEP_ABS_GF = 1300.0
 
-def _measure_1d(n, batch, force_xla=False):
-    """GFLOP/s of the planar 1D c64 path via scan-chain timing."""
-    plan = Plan((n,), scale=1.0 / math.sqrt(n), donate=True,
-                force_xla=force_xla)
+
+def _ratio_measure(n, batch, bytes_per_iter, rounds=5, floor=None):
+    """Best (kernel_io_gbs / copy_gbs) over tightly-interleaved rounds.
+
+    Returns (best_ratio, best_gflops).  Early-exits once both gates'
+    quantities clear their targets.
+    """
+    plan = Plan((n,), scale=1.0 / math.sqrt(n), donate=True)
     fn = plan._get_callable((batch,), False, "planar")
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     re = jax.random.normal(k1, (batch, n), jnp.float32)
     im = jax.random.normal(k2, (batch, n), jnp.float32)
-    dt = time_scan_chain(lambda r, i: fn(r + 0, i + 0), (re, im),
-                         ka=2, kb=12, trials=4)
-    return effective_gflops((n,), batch, max(dt, 1e-9))
+    best_ratio, best_gf = 0.0, 0.0
+    for _ in range(rounds):
+        gbs = copy_bandwidth_gbs(trials=2)
+        dt = time_scan_chain(fn, (re, im), ka=2, kb=10, trials=2)
+        kernel_gbs = bytes_per_iter / max(dt, 1e-9) / 1e9
+        best_ratio = max(best_ratio, kernel_gbs / gbs)
+        best_gf = max(best_gf,
+                      effective_gflops((n,), batch, max(dt, 1e-9)))
+        if floor is not None and best_ratio >= floor:
+            break
+    return best_ratio, best_gf
+
+
+def _headline_measure(rounds=5, floor=_HEADLINE_FLOOR):
+    n, batch = 4096, 4096
+    return _ratio_measure(n, batch, 4 * n * batch * 4, rounds, floor)
 
 
 def test_performance_harness():
@@ -51,30 +93,55 @@ def test_performance_harness():
     assert gf > 0
 
 
-# Floors sit ~2.5-5x above the force_xla fallback rate but BELOW the
-# kernel's loaded-hour readings: the shared chip's co-tenant load halves
-# measured throughput in bad hours (identical cached kernel measured
-# 0.37 ms quiet / 0.82 ms loaded), so a tight floor would flake while any
-# real executor regression (the XLA path) still trips these by miles.
-@pytest.mark.skipif(not _ON_TPU, reason="GFLOP/s gates need real TPU")
+@pytest.mark.skipif(not _ON_TPU, reason="perf gates need real TPU")
 def test_gate_headline_1d():
-    """BASELINE config 2 (the headline)."""
-    gf = _measure_1d(4096, 4096)
-    assert gf >= 1000, f"headline 1D c64 4096x4096 regressed: {gf:.0f} GF"
+    """BASELINE config 2 (the headline): one fused pass, 4 plane-moves."""
+    ratio, gf = _headline_measure()
+    assert ratio >= _HEADLINE_FLOOR or gf >= _HEADLINE_ABS_GF, (
+        f"headline 1D c64 4096x4096 regressed: kernel moves HBM at "
+        f"{ratio:.2f}x the concurrently-measured copy bandwidth "
+        f"(floor {_HEADLINE_FLOOR}) and {gf:.0f} GF")
 
 
-@pytest.mark.skipif(not _ON_TPU, reason="GFLOP/s gates need real TPU")
+@pytest.mark.skipif(not _ON_TPU, reason="perf gates need real TPU")
 def test_gate_fourstep_1d():
-    """Large-1D four-step path (config 6+ class)."""
-    gf = _measure_1d(1 << 22, 8)
-    assert gf >= 450, f"four-step 1D c64 2^22x8 regressed: {gf:.0f} GF"
+    """Large-1D four-step path (config 6+ class): 2 passes, 8 plane-moves."""
+    n, batch = 1 << 22, 8
+    ratio, gf = _ratio_measure(n, batch, 2 * 4 * n * batch * 4,
+                               floor=_FOURSTEP_FLOOR)
+    assert ratio >= _FOURSTEP_FLOOR or gf >= _FOURSTEP_ABS_GF, (
+        f"four-step 1D c64 2^22x8 regressed: ratio {ratio:.2f} "
+        f"(floor {_FOURSTEP_FLOOR}), {gf:.0f} GF")
 
 
-@pytest.mark.skipif(not _ON_TPU, reason="GFLOP/s gates need real TPU")
+@pytest.mark.skipif(not _ON_TPU, reason="perf gates need real TPU")
+def test_gate_has_teeth():
+    """The floor must sit ABOVE a 30%-slower kernel's ratio as measured in
+    THIS session — i.e. a deliberate 30% slowdown would fail the headline
+    gate right now, loaded hour or not (VERDICT r2 item 6 'done' bar)."""
+    ratio, gf = _headline_measure(floor=None)
+    degraded_ratio = ratio / 1.3
+    degraded_gf = gf / 1.3
+    assert degraded_ratio < _HEADLINE_FLOOR, (
+        f"floor {_HEADLINE_FLOOR} would pass a 30%-degraded kernel "
+        f"({degraded_ratio:.2f}) — raise the floor")
+    assert degraded_gf < _HEADLINE_ABS_GF, (
+        f"absolute escape hatch {_HEADLINE_ABS_GF} would pass a "
+        f"30%-degraded kernel ({degraded_gf:.0f} GF) — raise it")
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="perf gates need real TPU")
 def test_gate_catches_xla_regression():
     """The gate actually bites: the XLA fallback path (the regression the
     gate is designed to catch) must measure far below the floor."""
-    gf = _measure_1d(4096, 256, force_xla=True)
-    assert gf < 1000, (
-        f"force_xla measured {gf:.0f} GF >= the Pallas floor — "
-        "the gate can no longer detect an executor regression")
+    plan = Plan((4096,), scale=1.0 / 64.0, donate=True, force_xla=True)
+    fn = plan._get_callable((256,), False, "planar")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    re = jax.random.normal(k1, (256, 4096), jnp.float32)
+    im = jax.random.normal(k2, (256, 4096), jnp.float32)
+    gbs = copy_bandwidth_gbs(trials=2)
+    dt = time_scan_chain(fn, (re, im), ka=2, kb=10, trials=3)
+    ratio = (4 * 4096 * 256 * 4 / max(dt, 1e-9) / 1e9) / gbs
+    assert ratio < _HEADLINE_FLOOR, (
+        f"force_xla measured {ratio:.2f}x copy bandwidth >= the Pallas "
+        f"floor — the gate can no longer detect an executor regression")
