@@ -62,6 +62,7 @@ def _candidates(n: int):
         if rem == 0:
             opts.append((8,) * a + (mxu,))
         elif rem == 1 and a >= 1:
+            opts.append((8,) * a + (2, mxu))      # won col n=1024 in r3
             opts.append((8,) * (a - 1) + (4, 4) + (mxu,))
         elif rem == 2:
             opts.append((8,) * a + (4, mxu))

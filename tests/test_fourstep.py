@@ -93,7 +93,7 @@ def test_planner_schedules_huge(monkeypatch):
 
 @pytest.mark.parametrize("shape,axis,max_local", [
     ((16384, 128), 0, 128),      # 2D row axis, smallest split
-    ((4, 32768, 256), 1, 256),   # 3D middle axis with lead dim
+    ((2, 32768, 128), 1, 256),   # 3D middle axis with lead dim
 ])
 def test_mid_axis_parity(shape, axis, max_local):
     x = rand_complex(shape, seed=sum(shape) % 997)

@@ -479,10 +479,10 @@ def test_mid_axis_fourstep_plan(monkeypatch):
     XLA pass anywhere in the plan (VERDICT r2 item 4; interpret on CPU)."""
     import pyfft_tpu.plan as planmod
     monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
-    plan = Plan((16384, 512))
+    plan = Plan((16384, 128))
     assert [p.executor for p in plan._exec_plan.passes] == \
         ["local", "fourstep"]
-    x = rand_complex((16384, 512), seed=41)
+    x = rand_complex((16384, 128), seed=41)
     rr, ii = plan.execute(np.real(x).astype(np.float32),
                           np.imag(x).astype(np.float32))
     got = np.asarray(rr) + 1j * np.asarray(ii)
