@@ -36,12 +36,12 @@ __all__ = ["fft_axis_large", "fft_axis_huge", "fft_axis_mid",
 
 
 # Measured per-element column-pass wall (relative units, scan-chain timed
-# on the 2^22/2^25-element four-step shapes, v5e round 2): the per-grid-step
-# overhead and MXU-stage width make n=1024/4096 passes cheaper per element
-# than n=2048, so the 2^22 split (1024, 4096) beats balanced (2048, 2048)
-# by ~12% end to end (benchmarks/probe_col7/8).
-_COL_UNIT_COST = {128: 1.30, 256: 1.16, 512: 1.05, 1024: 1.00,
-                  2048: 1.14, 4096: 1.00, 8192: 1.35}
+# on the four-step shapes; refreshed r3 after the radix-8 + folded-twiddle
+# chains landed): col n=2048 (8,4,64) measured 0.383 ms/2^24 elems —
+# near the HBM roofline — vs 1024's 0.48 and 4096's 0.55, so balanced
+# (2048, 2048) is now the 2^22 split (was (1024, 4096) in r2).
+_COL_UNIT_COST = {128: 1.30, 256: 0.88, 512: 1.05, 1024: 1.00,
+                  2048: 0.80, 4096: 1.16, 8192: 1.35}
 
 
 def _split_cost(n: int) -> float:

@@ -34,7 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pyfft_tpu.ops.df64 import df64_const, df_add, df_cmul, df_scale_pow2
+from pyfft_tpu.ops.df64 import (df64_const, df_add, df_cmul, df_mul,
+                                df_scale_pow2)
 from pyfft_tpu.ops.pallas_local import LANES, _interpret_default
 from pyfft_tpu.utils.radix import is_power_of_two
 
@@ -93,27 +94,33 @@ _KEEP = 53                                          # max combined shift
 
 
 def mxu_factors_df64(n: int) -> tuple[int, ...]:
-    """Butterfly prefix + one 64-point int8-MXU tail (radix-2 late, per the
-    c64 probe calibration: 2-first chains measured slower)."""
+    """Butterfly prefix + one 64-point int8-MXU tail.
+
+    Radix-8-heavy prefixes since r3: each butterfly stage costs a df64
+    twiddle round (~100 VPU flops/element — the dominant term), so the
+    fewest-stages chain wins; radix-8 covers 3 bits per stage and its
+    w8 constants cost a df64 scale on only half the odd-branch elements.
+    The last twiddle round folds into the int8 tail entirely (FOLD)."""
     p = n.bit_length() - 1
     if p < 6:
         return default_factors_df64(n)
     r = p - 6
+    if n <= 2048:
+        # radix-8's 8 live slice quads exceed the VMEM scoped limit at
+        # n=4096 (measured: 121M > 100M); 2048 covers the config-5
+        # four-step splits, where the win matters
+        a, rem = divmod(r, 3)
+        if rem == 0:
+            return (8,) * a + (64,)
+        if rem == 1:
+            return (8,) * a + (2, 64)
+        return (8,) * a + (4, 64)
     if r % 2:
         return (4,) * (r // 2) + (2, 64)
     return (4,) * (r // 2) + (64,)
 
 
-def int8_dft_table(f: int, sign: int) -> tuple[np.ndarray, ...]:
-    """The stacked complex DFT matrix [[Wr,-Wi],[Wi,Wr]] as len(_W_SHIFTS)
-    int8 channels W ~= sum_k C_k 2^-shift_k (exact to 7*len(_W_SHIFTS)
-    bits; the channel budget is tuned against the c128 gate — see the
-    _W_SHIFTS comment)."""
-    k = np.arange(f).reshape(-1, 1)
-    j = np.arange(f).reshape(1, -1)
-    ang = sign * 2.0 * np.pi * (k * j % f) / f
-    wr, wi = np.cos(ang), np.sin(ang)
-    ws = np.block([[wr, -wi], [wi, wr]])
+def _int8_channels(ws: np.ndarray) -> tuple[np.ndarray, ...]:
     chunks = []
     r = ws.copy()
     for s in _W_SHIFTS:
@@ -122,6 +129,40 @@ def int8_dft_table(f: int, sign: int) -> tuple[np.ndarray, ...]:
         r -= c * sh
         chunks.append(c.astype(np.int8))
     return tuple(chunks)
+
+
+def _dft_rw(f: int, sign: int):
+    k = np.arange(f).reshape(-1, 1)
+    j = np.arange(f).reshape(1, -1)
+    ang = sign * 2.0 * np.pi * (k * j % f) / f
+    return np.cos(ang), np.sin(ang)
+
+
+def int8_dft_table(f: int, sign: int) -> tuple[np.ndarray, ...]:
+    """The stacked complex DFT matrix [[Wr,-Wi],[Wi,Wr]] as len(_W_SHIFTS)
+    int8 channels W ~= sum_k C_k 2^-shift_k (exact to 7*len(_W_SHIFTS)
+    bits; the channel budget is tuned against the c128 gate — see the
+    _W_SHIFTS comment)."""
+    wr, wi = _dft_rw(f, sign)
+    return _int8_channels(np.block([[wr, -wi], [wi, wr]]))
+
+
+def int8_dft_table_folded(f: int, f_prev: int, sign: int):
+    """Per-digit folded tables: the twiddle between the previous stage
+    and this MXU tail (T[j_prev, i], |T|=1) pre-multiplied into the DFT
+    matrix in f64, then channel-quantized — the df64 analog of the c64
+    FOLD_LAST_TW: one entire df64 twiddle round (~100 VPU flops/element)
+    vanishes for the same MXU madds.  Returns f_prev channel-tuples."""
+    wr, wi = _dft_rw(f, sign)
+    i = np.arange(f, dtype=np.int64)
+    out = []
+    for j in range(f_prev):
+        ang = sign * 2.0 * np.pi * ((j * i) % (f_prev * f)) / (f_prev * f)
+        tr, ti = np.cos(ang)[None, :], np.sin(ang)[None, :]
+        wjr = wr * tr - wi * ti
+        wji = wr * ti + wi * tr
+        out.append(_int8_channels(np.block([[wjr, -wji], [wji, wjr]])))
+    return tuple(out)
 
 
 def _exp2_f32(e):
@@ -192,16 +233,30 @@ def _mxu_stage_df64(x, f, axis, wch, sign):
     return acc_h[:f], acc_l[:f], acc_h[f:], acc_l[f:]
 
 
+def _fold_applies_df64(factors) -> bool:
+    return (len(factors) >= 2 and factors[-1] >= MXU_MIN_F
+            and factors[-2] <= 8)
+
+
 def needed_tables_df64(n: int, sign: int, factors=None) -> dict:
     """{("tw", i, factors): (trh, trl, tih, til)} inter-stage twiddles,
-    plus ("wint8", f, sign): int8 DFT channels for MXU-stage factors."""
+    plus ("wint8", f, sign): int8 DFT channels for MXU-stage factors —
+    or ("wi8fold", factors): f_prev per-digit channel tuples (flattened)
+    when the last twiddle round folds into the MXU tail."""
     factors = tuple(factors or default_factors_df64(n))
     assert math.prod(factors) == n
+    m = len(factors)
+    fold = _fold_applies_df64(factors)
     tables: dict = {}
     for i, f in enumerate(factors):
+        if fold and i == m - 1:
+            groups = int8_dft_table_folded(f, factors[m - 2], sign)
+            tables[("wi8fold", factors)] = tuple(
+                c for g in groups for c in g)
+            continue
         if f >= MXU_MIN_F:
             tables.setdefault(("wint8", f, sign), int8_dft_table(f, sign))
-        if i >= len(factors) - 1:
+        if i >= m - 1 or (fold and i == m - 2):
             continue
         rest = factors[i + 1:]
         r = math.prod(rest)
@@ -242,43 +297,107 @@ def _slice4(planes, f, axis):
                   for p in planes) for j in range(f)]
 
 
-def _butterfly_df64(f, planes, axis, sign):
-    """f-point DFT (f in 2, 4) over ``axis`` of a complex-df64 quad.
+def _fft4_quads(xs, sign):
+    """4-point DFT of 4 complex-df64 quads; returns the 4 output quads."""
+    a = _cadd(xs[0], xs[2])
+    b = _csub(xs[0], xs[2])
+    c = _cadd(xs[1], xs[3])
+    d = _csub(xs[1], xs[3])
+    id_ = _mul_pi(d, sign)
+    return [_cadd(a, c), _cadd(b, id_), _csub(a, c), _csub(b, id_)]
 
-    Pure additions and +-i swaps — exact in df64.  Output digit prepended
-    at axis 0 (dot_general convention, matching the c64 kernels).
+
+# sqrt(1/2) as a df64 constant (hi + lo carries ~2^-48 of the exact value)
+_C_HI, _C_LO = (float(v) for v in df64_const(np.sqrt(np.float64(0.5))))
+
+
+def _vconst(v):
+    """A (1, 1) f32 vector constant: Mosaic's tpu.bitcast (inside the
+    df64 Veltkamp split) only accepts vectors, so df64 scalar operands
+    must be at least rank-2 arrays, never Python floats."""
+    return jnp.full((1, 1), v, jnp.float32)
+
+
+def _mul_w8_odd(x, k, sign):
+    """x * w8^k for k in (1, 3), exact-to-df64: w8^1 = c(1 -+ i),
+    w8^3 = c(-1 -+ i) with c = sqrt(1/2) (sign < 0: the -+ is -)."""
+    rh, rl, ih, il = x
+    ch, cl = _vconst(_C_HI), _vconst(_C_LO)
+    # s = c*(re + im), d = c*(im - re) in df64
+    sh, sl = df_add(rh, rl, ih, il)
+    dh, dl = df_add(ih, il, -rh, -rl)
+    sh, sl = df_mul(sh, sl, ch, cl)
+    dh, dl = df_mul(dh, dl, ch, cl)
+    if sign < 0:
+        if k == 1:    # c(1-i): re' = c(r+m), im' = c(m-r)
+            return (sh, sl, dh, dl)
+        # k == 3, c(-1-i): re' = c(m-r), im' = -c(r+m)
+        return (dh, dl, -sh, -sl)
+    if k == 1:        # c(1+i): re' = c(r-m) = -d/..., im' = c(r+m)
+        return (-dh, -dl, sh, sl)
+    # k == 3, c(-1+i): re' = -c(r+m), im' = c(r-m)
+    return (-sh, -sl, -dh, -dl)
+
+
+def _butterfly_df64(f, planes, axis, sign):
+    """f-point DFT (f in 2, 4, 8) over ``axis`` of a complex-df64 quad.
+
+    Radix-2/4: pure additions and +-i swaps — exact in df64.  Radix-8:
+    fused 2x4 with the w8 constants as df64 scalars (~2^-48 each, the
+    same error class as the inter-stage twiddles).  Output digit
+    prepended at axis 0 (dot_general convention, matching c64).
     """
     xs = _slice4(planes, f, axis)
     if f == 2:
         ys = [_cadd(xs[0], xs[1]), _csub(xs[0], xs[1])]
     elif f == 4:
-        a = _cadd(xs[0], xs[2])
-        b = _csub(xs[0], xs[2])
-        c = _cadd(xs[1], xs[3])
-        d = _csub(xs[1], xs[3])
-        id_ = _mul_pi(d, sign)
-        ys = [_cadd(a, c), _cadd(b, id_), _csub(a, c), _csub(b, id_)]
+        ys = _fft4_quads(xs, sign)
+    elif f == 8:
+        ev = [_cadd(xs[j], xs[4 + j]) for j in range(4)]
+        od = [_csub(xs[j], xs[4 + j]) for j in range(4)]
+        od[1] = _mul_w8_odd(od[1], 1, sign)
+        od[2] = _mul_pi(od[2], sign)
+        od[3] = _mul_w8_odd(od[3], 3, sign)
+        a = _fft4_quads(ev, sign)    # k1 = 0
+        b = _fft4_quads(od, sign)    # k1 = 1
+        ys = [q for pair in zip(a, b) for q in pair]
     else:
-        raise ValueError(f"df64 butterfly radix must be 2 or 4, got {f}")
+        raise ValueError(f"df64 butterfly radix must be 2, 4 or 8, got {f}")
     return tuple(jnp.stack([y[k] for y in ys], axis=0) for k in range(4))
 
 
 def tile_fft_df64(planes, tables: dict, n: int, factors=None, sign=-1):
     """Length-n DFT over axis 0 of (n, lanes) df64 planar quad.
 
-    Factors 2/4 run as exact VPU butterflies; factors >= MXU_MIN_F run as
-    exact int8-split DFT contractions on the MXU (both prepend the output
-    digit at axis 0, so they compose freely in one chain)."""
+    Factors 2/4/8 run as exact VPU butterflies; factors >= MXU_MIN_F run
+    as exact int8-split DFT contractions on the MXU (both prepend the
+    output digit at axis 0, so they compose freely in one chain).  When
+    the per-digit folded tail tables are present, the last df64 twiddle
+    round is skipped entirely (it lives inside the int8 channels)."""
     lanes = planes[0].shape[-1]
     factors = tuple(factors or default_factors_df64(n))
     m = len(factors)
+    fold = ("wi8fold", factors) in tables
     x = tuple(p.reshape(*factors, lanes) for p in planes)
     for i, f in enumerate(factors):
+        if fold and i == m - 1:
+            flat = tables[("wi8fold", factors)]
+            nch = len(_W_SHIFTS)
+            f_prev = factors[m - 2]
+            outs = []
+            for j in range(f_prev):
+                xj = tuple(jax.lax.index_in_dim(p, j, 0, keepdims=False)
+                           for p in x)
+                wch = flat[j * nch:(j + 1) * nch]
+                outs.append(_mxu_stage_df64(xj, f, i - 1, wch, sign))
+            x = tuple(jnp.stack([o[k] for o in outs], axis=1)
+                      for k in range(4))
+            break
         if f >= MXU_MIN_F:
             x = _mxu_stage_df64(x, f, i, tables[("wint8", f, sign)], sign)
         else:
             x = _butterfly_df64(f, x, i, sign)
-        if i < m - 1:
+        if i < m - 1 and not (fold and i == m - 2):
             trh, trl, tih, til = tables[("tw", i, factors)]
             x = df_cmul(x[0], x[1], x[2], x[3], trh, trl, tih, til)
     return tuple(p.reshape(n, lanes) for p in x)
@@ -293,8 +412,10 @@ def _apply_post(x, postscale):
         ih, il = df_scale_pow2(x[2], x[3], postscale)
         return (rh, rl, ih, il)
     sh, sl = df64_const(np.float64(postscale))
-    sh, sl = jnp.float32(sh), jnp.float32(sl)
-    z = jnp.float32(0.0)
+    # rank-2 vector constants: Mosaic's tpu.bitcast inside the df64
+    # split rejects scalar operands (same issue as _exp2_f32)
+    sh, sl = _vconst(float(sh)), _vconst(float(sl))
+    z = _vconst(0.0)
     return df_cmul(x[0], x[1], x[2], x[3], sh, sl, z, z)
 
 

@@ -98,7 +98,10 @@ def stage_cost(f: int) -> int:
 # n=1024/4096: radix-8 + folded-twiddle chains measured 14%/22% faster
 # than the radix-4 chains on the 2^22 four-step shapes (probe_fold2, r3;
 # col1024 (8,2,64) reached 0.93x of the concurrent copy bandwidth).
-COL_FACTORS = {2048: (4, 4, 4, 32), 1024: (8, 2, 64), 4096: (8, 8, 64)}
+# autotune r3 (benchmarks/tuned_v5e.json): col2048 (8,4,64) 0.383 ms vs
+# 0.635 for the old (4,4,4,32) (+66%); col256 (8,32) 0.422 vs 0.480.
+COL_FACTORS = {2048: (8, 4, 64), 1024: (8, 2, 64), 4096: (8, 8, 64),
+               256: (8, 32)}
 
 # Row-kernel overrides (autotune-measured, v5e round 2-3): a late radix-2
 # ahead of a 64-wide MXU stage beats the parity rule's 128-wide stage by
@@ -106,7 +109,8 @@ COL_FACTORS = {2048: (4, 4, 4, 32), 1024: (8, 2, 64), 4096: (8, 8, 64)}
 # n=4096: radix-8 butterflies + folded last twiddle measured 0.607 ms
 # vs 0.756 (fold-4.4.4.64) / 0.786 (unfolded) in the same load window —
 # fewer VPU stage/twiddle rounds, the measured wall (probe_fold, r3).
-ROW_FACTORS = {2048: (4, 4, 2, 64), 4096: (8, 8, 64)}
+# autotune r3: row1024 (8,2,64) 0.568 ms vs 0.727 for (4,4,64) (+28%).
+ROW_FACTORS = {2048: (4, 4, 2, 64), 4096: (8, 8, 64), 1024: (8, 2, 64)}
 
 # Autotuned overrides (utils/tune.autotune persists measured winners per
 # machine); consulted before the static tables.

@@ -199,3 +199,33 @@ def test_df64_planner_schedules_huge():
 
     p = planner.build_plan((1 << 26,), np.complex128, on_tpu=True)
     assert [q.executor for q in p.passes] == ["huge"]
+
+
+@pytest.mark.parametrize("factors", [(8, 64), (8, 2, 64), (8, 4, 64),
+                                     (8, 8, 32)])
+def test_df64_radix8_fold_chains(factors):
+    """Radix-8 df64 butterflies + the folded int8 tail (r3 c128
+    throughput work): parity and the fold tables actually engaging."""
+    import math
+    n = math.prod(factors)
+    x = _rand((8, n), 31) + 1j * _rand((8, n), 32)
+    tabs = pallas_df64.needed_tables_df64(n, -1, factors)
+    assert ("wi8fold", tuple(factors)) in tabs
+    out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1, factors=factors,
+                                    interpret=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+    # inverse
+    back = pallas_df64.fft_axis_df64(out, +1, axis=-1, factors=factors,
+                                     postscale=1.0 / n, interpret=True)
+    rt = _unquad(back)
+    assert np.abs(rt - x).max() / np.abs(x).max() < 1e-11
+
+
+def test_df64_default_chain_uses_radix8():
+    assert pallas_df64.mxu_factors_df64(2048) == (8, 4, 64)
+    assert pallas_df64.mxu_factors_df64(1024) == (8, 2, 64)
+    # n=4096 stays radix-4: radix-8's live slices blow the VMEM scoped
+    # limit there (measured 121M > 100M on TPU)
+    assert pallas_df64.mxu_factors_df64(4096) == (4, 4, 4, 64)

@@ -93,7 +93,7 @@ def test_autotuned_factors_override(tmp_path, monkeypatch):
     try:
         assert pallas_local.col_factors(512) == (4, 2, 64)
         assert pallas_local.row_factors(512) == (2, 4, 64)
-        assert pallas_local.col_factors(2048) == (4, 4, 4, 32)  # static
+        assert pallas_local.col_factors(2048) == (8, 4, 64)  # static
         # candidate generator produces valid chains
         import math
         for n in (256, 1024, 4096):
