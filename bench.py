@@ -37,6 +37,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Pin the autotune record to the repo-committed measurement for this
+# machine unless the caller overrides: a stale ~/.cache record from an
+# earlier round otherwise silently reverts tuned chains (r3: a round-2
+# row:4096 override hid the radix-8+fold headline chain from every
+# watcher/bench capture for hours).
+os.environ.setdefault(
+    "PYFFT_TPU_TUNE_FILE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "benchmarks", "tuned_v5e.json"))
+
 N = 4096
 BATCH = 4096
 HBM_BW = 819e9  # v5e

@@ -17,6 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Same tuned-record pin as bench.py: a stale ~/.cache autotune file from
+# an earlier round otherwise reverts the measured chains under test.
+os.environ.setdefault(
+    "PYFFT_TPU_TUNE_FILE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "benchmarks", "tuned_v5e.json"))
 
 import jax
 import jax.numpy as jnp

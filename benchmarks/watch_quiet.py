@@ -23,6 +23,11 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+# Same tuned-record pin as bench.py: a stale ~/.cache autotune file from
+# an earlier round otherwise reverts the measured chains under test.
+os.environ.setdefault(
+    "PYFFT_TPU_TUNE_FILE",
+    os.path.join(ROOT, "benchmarks", "tuned_v5e.json"))
 
 TRAIL = os.path.join(ROOT, "benchmarks", "load_trail.jsonl")
 QUIET_MS = float(os.environ.get("WATCH_QUIET_MS", "0.52"))

@@ -364,6 +364,148 @@ def _butterfly(f, xr, xi, axis, sign):
     return jnp.stack(yr, axis=0), jnp.stack(yi, axis=0)
 
 
+# ------------------------------------------------------------- packed mode
+# Interleaved (re,im)-adjacent storage processed natively: the bitcast
+# (..., 2n) view is transposed to (2n, lanes) rows and reshaped once to
+# (*factors, 2, lanes).  The size-2 pair axis sits second-to-last and
+# NEVER moves — every stage contracts a factor axis and prepends its
+# digit in front, so the final flatten is already packed DFT output
+# order (the interleaved analog of tile_fft's no-bit-reversal
+# digit-prepend ordering).  Cross-plane arithmetic (twiddles, MXU
+# stages, +-i butterfly arms) goes through ``_pair_i`` — one flip of the
+# size-2 axis + a plane-sign mask — replacing the stride-2 plane
+# splits of the first-generation interleaved kernel (measured 2.63 ms
+# vs 0.79 planar on the headline shape; docs/design.md r3 log).
+#
+# STATUS (r3): numerically validated end-to-end under interpret mode
+# (tests/test_interleave.py), but on this environment's shared Mosaic
+# compile service the n=4096 packed chain did not finish compiling
+# within two 10-15 min windows (docs/design.md r3 log) — a compile
+# hazard, so PACKED_INTERLEAVED stays False and the TPU path uses the
+# planar-split fused kernel below.  Flip on a machine with a healthy
+# local compiler to A/B the two.
+
+PACKED_INTERLEAVED = False
+
+
+def _pair_swap(x):
+    """Swap the (re, im) pair rows: (..., 2, L) -> (im, re) in place.
+
+    Mosaic has no `rev` lowering and a strided pair split is the relayout
+    this whole mode exists to avoid, so the swap is two whole-tile row
+    rolls (contiguous block concats) + a parity select on the flattened
+    row axis — every op block-contiguous.
+    """
+    shape = x.shape
+    rows = math.prod(shape[:-1])
+    x2 = x.reshape(rows, shape[-1])
+    up = jnp.roll(x2, -1, axis=0)        # row 2k   <- im_k
+    dn = jnp.roll(x2, 1, axis=0)         # row 2k+1 <- re_k
+    par = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % 2
+    return jnp.where(par == 0, up, dn).reshape(shape)
+
+
+def _pair_i(x, sign):
+    """(sign * i) * z elementwise on a packed array (pair axis at -2):
+    i*z = (-im, re); -i*z = (im, -re)."""
+    y = _pair_swap(x)
+    par = jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0)   # [[0], [1]]
+    lo, hi = (-1.0, 1.0) if sign >= 0 else (1.0, -1.0)
+    m = jnp.where(par == 0, jnp.asarray(lo, x.dtype), jnp.asarray(hi, x.dtype))
+    return y * m
+
+
+def _fft4_packed(xs, sign):
+    """4-point DFT of 4 packed slices; mirrors _fft4_lists."""
+    a, b = xs[0] + xs[2], xs[0] - xs[2]
+    c, d = xs[1] + xs[3], xs[1] - xs[3]
+    idd = _pair_i(d, sign)
+    return [a + c, b + idd, a - c, b - idd]
+
+
+def _butterfly_packed(f, x, axis, sign):
+    """Packed-complex analog of _butterfly (f in 2, 4, 8); the pair axis
+    rides along untouched except inside the +-i / w8 arms."""
+    xs = [jax.lax.index_in_dim(x, j, axis, keepdims=False) for j in range(f)]
+    if f == 2:
+        ys = [xs[0] + xs[1], xs[0] - xs[1]]
+    elif f == 4:
+        ys = _fft4_packed(xs, sign)
+    elif f == 8:
+        ev = [xs[j] + xs[4 + j] for j in range(4)]
+        od = [xs[j] - xs[4 + j] for j in range(4)]
+        c = _SQRT1_2
+        if sign < 0:   # w8^1 = c(1-i), w8^2 = -i, w8^3 = -c(1+i)
+            od[1] = c * (od[1] - _pair_i(od[1], 1))
+            od[2] = _pair_i(od[2], -1)
+            od[3] = -c * (od[3] + _pair_i(od[3], 1))
+        else:          # w8^-1 = c(1+i), w8^-2 = i, w8^-3 = c(-1+i)
+            od[1] = c * (od[1] + _pair_i(od[1], 1))
+            od[2] = _pair_i(od[2], 1)
+            od[3] = -c * (od[3] - _pair_i(od[3], 1))
+        a = _fft4_packed(ev, sign)
+        b = _fft4_packed(od, sign)
+        ys = [q for pair in zip(a, b) for q in pair]
+    else:
+        raise ValueError(f"unsupported butterfly radix {f}")
+    return jnp.stack(ys, axis=0)
+
+
+def needed_tables_packed(n: int, sign: int, factors=None,
+                         dtype=np.float32) -> dict:
+    """Packed-mode tables: ("dftp", f) = one (f, 2f) [Wr | Wi] matrix —
+    contracted against [x ; i*x] so the complex product is ONE real
+    matmul at full MXU K-width — plus ("twp", ...) twiddles broadcast
+    over the pair axis."""
+    factors = tuple(factors or default_factors(n))
+    assert math.prod(factors) == n
+    tables: dict = {}
+    for i, f in enumerate(factors):
+        if f not in VPU_RADICES:
+            wr, wi = dft_matrix(f, sign, np.float64)
+            tables.setdefault(("dftp", f),
+                              (np.concatenate([wr, wi], 1).astype(dtype),))
+        if i < len(factors) - 1:
+            rest = factors[i + 1:]
+            r = math.prod(rest)
+            tr, ti = twiddle_table(f, r, f * r, sign, dtype)
+            shape = (f,) + (1,) * i + rest + (1, 1)
+            # sin table carries the pair signs (-ti at re, +ti at im) so
+            # the twiddle round is tr*x + tip*pair_swap(x) with no extra
+            # sign pass
+            tip = (ti.reshape(shape)
+                   * np.asarray([-1.0, 1.0], dtype).reshape(2, 1))
+            tables[("twp", i, factors)] = (tr.reshape(shape), tip)
+    return tables
+
+
+def tile_fft_packed(x, tables: dict, n: int, factors=None,
+                    precision=_PRECISION, sign: int = -1):
+    """Length-n DFT over the packed rows of a (2n, lanes) tile.
+
+    Rows alternate (re, im) — the transposed bitcast view of interleaved
+    complex64 (the reference's default storage, SURVEY.md §2.5/§3.4).
+    Same digit-prepend chain as tile_fft; outputs land packed, so the
+    kernel is one HBM round trip with zero plane-split relayouts.
+    """
+    lanes = x.shape[-1]
+    assert x.shape == (2 * n, lanes), (x.shape, n)
+    factors = tuple(factors or default_factors(n))
+    m = len(factors)
+    x = x.reshape(*factors, 2, lanes)
+    for i, f in enumerate(factors):
+        if f in VPU_RADICES:
+            x = _butterfly_packed(f, x, i, sign)
+        else:
+            (wcat,) = tables[("dftp", f)]
+            xcat = jnp.concatenate([x, _pair_i(x, 1)], axis=i)
+            x = _dg(wcat, xcat, i, precision)
+        if i < m - 1:
+            tr, tip = tables[("twp", i, factors)]
+            x = tr * x + tip * _pair_swap(x)
+    return x.reshape(2 * n, lanes)
+
+
 def _dg(w, x, axis, precision):
     dims = (((1,), (axis,)), ((), ()))
     return jax.lax.dot_general(w, x, dims,
@@ -490,7 +632,7 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
 
 
 def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
-            sign, *refs):
+            packed, sign, *refs):
     nt = sum(arity for _, arity in layout)
     table_refs = refs[:nt]
     tables = {}
@@ -498,11 +640,24 @@ def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
     for k, arity in layout:
         tables[k] = tuple(table_refs[pos + j][:] for j in range(arity))
         pos += arity
-    if interleaved:
+    if interleaved and packed:
         # One (lanes, 2n) block of interleaved complex (a bitcast view of
-        # complex64).  After the load transpose, rows alternate re/im —
-        # (2n, L) -> (n, 2, L) is a free row reshape, so de/interleaving
-        # costs nothing here (the transform-major layout's bonus).
+        # complex64), processed natively in packed form: the pair axis
+        # never moves, so there are no plane-split relayouts anywhere
+        # (tile_fft_packed).  Interpret-validated; compile hazard on the
+        # shared Mosaic service — see PACKED_INTERLEAVED.
+        (v_ref, o_ref) = refs[nt], refs[nt + 1]
+        x = tile_fft_packed(v_ref[:].T, tables, n, factors, precision, sign)
+        if postscale != 1.0:
+            x = x * jnp.float32(postscale)
+        o_ref[:] = x.T
+        return
+    if interleaved:
+        # Planar-split fused form: after the load transpose rows alternate
+        # re/im — (2n, L) -> (n, 2, L) is a row reshape, but the pair
+        # split lowers to stride-2 sublane relayouts (measured 2.63 ms vs
+        # 0.79 planar on the headline shape; still the best *compilable*
+        # single-pass interleaved option, docs/design.md r3 log).
         (v_ref, o_ref) = refs[nt], refs[nt + 1]
         pairs = v_ref[:].T.reshape(n, 2, -1)
         xr = pairs[:, 0, :]
@@ -525,7 +680,8 @@ def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
 
 
 def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
-              precision, stacked, lanes, interleaved, alias_io=False):
+              precision, stacked, lanes, interleaved, packed=False,
+              alias_io=False):
     # Trace the kernel with x64 semantics off regardless of caller config:
     # under x64, Pallas index bookkeeping picks up 64-bit types that Mosaic
     # cannot legalize ("failed to legalize operation 'func.return'"); the
@@ -535,14 +691,18 @@ def _row_call(inputs, rows, n, *, sign, postscale, interpret, factors,
                                postscale=postscale, interpret=interpret,
                                factors=factors, precision=precision,
                                stacked=stacked, lanes=lanes,
-                               interleaved=interleaved, alias_io=alias_io)
+                               interleaved=interleaved, packed=packed,
+                               alias_io=alias_io)
 
 
 def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
-                    precision, stacked, lanes, interleaved, alias_io):
+                    precision, stacked, lanes, interleaved, packed, alias_io):
     factors = tuple(factors or default_factors(n))
-    tables = needed_tables(n, sign, factors=factors, stacked=stacked,
-                           precision=precision)
+    if interleaved and packed:
+        tables = needed_tables_packed(n, sign, factors=factors)
+    else:
+        tables = needed_tables(n, sign, factors=factors, stacked=stacked,
+                               precision=precision)
     layout = tuple((k, len(v)) for k, v in tables.items())
     flat = [jnp.asarray(a) for v in tables.values() for a in v]
     grid = (pl.cdiv(rows, lanes),)
@@ -552,7 +712,7 @@ def _row_call_inner(inputs, rows, n, *, sign, postscale, interpret, factors,
     dspec = pl.BlockSpec((lanes, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, n, layout, postscale, factors,
-                             precision, stacked, interleaved, sign)
+                             precision, stacked, interleaved, packed, sign)
     nt = len(tspec)
     if interleaved:
         out_shape = jax.ShapeDtypeStruct((rows, width), jnp.float32)
@@ -608,36 +768,40 @@ def _fft_rows(re, im, *, n, sign, postscale, interpret,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
-    "lanes", "alias_io"))
+    "lanes", "packed", "alias_io"))
 def _fft_rows_interleaved(v, *, n, sign, postscale, interpret,
                           factors=None, precision=_PRECISION, stacked=True,
-                          lanes=LANES, alias_io=False):
+                          lanes=LANES, packed=False, alias_io=False):
     """FFT of (rows, 2n) interleaved-complex f32 views, fully fused.
 
     The input is the bitcast view of a complex64 (rows, n) array
-    (re0,im0,re1,im1,...); the kernel de/re-interleaves for free inside the
+    (re0,im0,re1,im1,...); the kernel de/re-interleaves inside the
     load/store transposes, so the pyfft-style interleaved API costs exactly
     one HBM round trip — no separate conversion passes.
     """
     return _row_call(
         (v,), v.shape[0], n, sign=sign, postscale=postscale,
         interpret=interpret, factors=factors, precision=precision,
-        stacked=stacked, lanes=lanes, interleaved=True, alias_io=alias_io)
+        stacked=stacked, lanes=lanes, interleaved=True, packed=packed,
+        alias_io=alias_io)
 
 
 def fft_rows_interleaved(v, sign, *, postscale: float = 1.0,
                          interpret: bool | None = None, factors=None,
-                         alias_io=False):
+                         packed: bool | None = None, alias_io=False):
     """Public wrapper: v is a (..., 2n) f32 view of interleaved complex."""
     if interpret is None:
         interpret = _interpret_default()
+    if packed is None:
+        packed = PACKED_INTERLEAVED
     n = v.shape[-1] // 2
     lead = v.shape[:-1]
     rows = math.prod(lead) if lead else 1
     out = _fft_rows_interleaved(v.reshape(rows, 2 * n), n=n, sign=sign,
                                 postscale=float(postscale),
                                 factors=tuple(factors) if factors else None,
-                                interpret=bool(interpret), alias_io=alias_io)
+                                interpret=bool(interpret),
+                                packed=bool(packed), alias_io=alias_io)
     return out.reshape(*lead, 2 * n)
 
 

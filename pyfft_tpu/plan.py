@@ -304,6 +304,17 @@ class Plan:
                         return pallas_local.fft_rows_interleaved(
                             v, sign, postscale=norm, factors=factors,
                             alias_io=self.donate)
+                from pyfft_tpu.ops import interleave as il
+                use_kernel = (not self._force_xla and _on_tpu()
+                              and il.supported(v.shape, v.dtype))
+                if use_kernel:
+                    # multi-pass / nd interleaved: streaming MXU selection
+                    # conversions (bit-exact, ~copy speed) instead of the
+                    # XLA slice/stack relayout (~10x below streaming —
+                    # docs/design.md r3 interleaved log).
+                    re, im = il.deinterleave(v)
+                    re, im = run_planar(re, im)
+                    return il.interleave(re, im)
                 pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
                 re, im = pairs[..., 0], pairs[..., 1]
                 re, im = run_planar(re, im)
