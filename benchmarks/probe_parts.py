@@ -37,8 +37,10 @@ def _passthrough_kernel(transpose, re_ref, im_ref, or_ref, oi_ref):
     if transpose:
         xr, xi = xr.T, xi.T
         # a shape-anchored op in the transposed domain so Mosaic cannot
-        # cancel the round trip: scale by a per-row (n, 1) column vector
-        col = jax.lax.broadcasted_iota(jnp.float32, (N, 1), 0) * 0.0 + 1.0
+        # cancel the round trip: scale by a per-row (n, 1) column vector.
+        # int32 iota -> f32: Mosaic rejects float iota (see tile_fft_packed).
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).astype(
+            jnp.float32) * jnp.float32(1e-30) + jnp.float32(1.0)
         xr = xr * col
         xi = xi * col
         xr, xi = xr.T, xi.T
