@@ -33,12 +33,14 @@ def main():
     cases = [
         ("fused2d-yx", 1, lambda r, i: pallas_local.fft2_fused(
             r, i, -1, alias_io=True)),
-        ("col-z", 1, lambda r, i: pallas_local.fft_axis(
-            r.reshape(S, S * S), i.reshape(S, S * S), -1, axis=0,
-            alias_io=True)),
-        ("col-z-l256", 1, lambda r, i: pallas_local.fft_axis(
-            r.reshape(S, S * S), i.reshape(S, S * S), -1, axis=0,
-            lanes=256, alias_io=True)),
+        ("col-z", 1, lambda r, i: tuple(
+            a.reshape(S, S, S) for a in pallas_local.fft_axis(
+                r.reshape(S, S * S), i.reshape(S, S * S), -1, axis=0,
+                alias_io=True))),
+        ("col-z-l256", 1, lambda r, i: tuple(
+            a.reshape(S, S, S) for a in pallas_local.fft_axis(
+                r.reshape(S, S * S), i.reshape(S, S * S), -1, axis=0,
+                lanes=256, alias_io=True))),
     ]
     for name, passes, fn in cases:
         try:
