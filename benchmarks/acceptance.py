@@ -152,11 +152,21 @@ def run_config(name, shape, batch, dtype, iters=10):
     err = parity(fn1, bshape, shape, dtype)
     tol = 2e-6 if dtype == np.complex64 else 1e-11
     status = "PASS" if err < tol else "FAIL"
+    # load label (VERDICT r2 item 1): the concurrently measured pure-copy
+    # HBM bandwidth, so congested-window rows are marked in the artifact
+    copy_gbs = 0.0
+    if jax.default_backend() in ("tpu", "axon"):
+        from pyfft_tpu.utils.profiling import copy_bandwidth_gbs
+        try:
+            copy_gbs = round(copy_bandwidth_gbs(trials=2), 1)
+        except Exception:
+            pass
     row = dict(config=name, shape=shape, batch=batch,
                dtype=np.dtype(dtype).name, ms=round(dt * 1e3, 3),
-               gflops=round(gf, 1), max_rel_err=err, tol=tol, status=status)
-    print(f"{name:38s} {dt*1e3:9.3f} ms {gf:9.1f} GF  err={err:.2e} {status}",
-          flush=True)
+               gflops=round(gf, 1), max_rel_err=err, tol=tol, status=status,
+               copy_gbs=copy_gbs)
+    print(f"{name:38s} {dt*1e3:9.3f} ms {gf:9.1f} GF  err={err:.2e} {status}"
+          f"  (copy {copy_gbs:.0f} GB/s)", flush=True)
     return row
 
 
