@@ -174,6 +174,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="reduced sizes (CPU-runnable)")
+    ap.add_argument("--configs", default="",
+                    help="comma-separated config number prefixes to run "
+                         "(e.g. '4,5,6'); others keep their recorded rows")
     args = ap.parse_args()
     jax.config.update("jax_enable_x64", True)
 
@@ -198,6 +201,11 @@ def main():
             # beyond the BASELINE set: the large-N c64 two-pass four-step
             ("6+: 1D c64 N=2^22 b=8", (1 << 22,), 8, np.complex64, 8),
         ]
+
+    if args.configs:
+        want = tuple(s.strip() for s in args.configs.split(","))
+        configs = [c for c in configs
+                   if c[0].split(":")[0].rstrip("+") in want]
 
     rows = []
     for cfg in configs:
@@ -226,6 +234,11 @@ def main():
         best_ms = min(r["ms"], p.get("best_ms", p.get("ms", r["ms"])))
         r["best_ms"] = best_ms
         r["best_gflops"] = round(r["gflops"] * r["ms"] / best_ms, 1)
+    if args.configs:
+        # subset run: configs not re-run keep their recorded rows
+        ran = {r["config"] for r in rows}
+        rows = [prev[c] for c in prev if c not in ran] + rows
+        rows.sort(key=lambda r: str(r.get("config")))
     with open(out, "w") as f:
         json.dump(dict(backend=jax.default_backend(), rows=rows), f, indent=1)
     print(f"wrote {out}", flush=True)

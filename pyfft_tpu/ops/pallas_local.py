@@ -251,7 +251,8 @@ def _fold_applies(factors, stacked: bool, precision: str) -> bool:
 
 
 def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
-                  stacked: bool = True, precision: str = _PRECISION) -> dict:
+                  stacked: bool = True, precision: str = _PRECISION,
+                  trail_ndim: int = 1) -> dict:
     """Ordered {key: (real, imag)} numpy tables for a length-n tile FFT.
 
     With ``stacked`` the DFT matrices are stored in the 2x2 real-stacked
@@ -299,7 +300,7 @@ def needed_tables(n: int, sign: int, dtype=np.float32, factors=None,
             rest = factors[i + 1:]
             r = math.prod(rest)
             tr, ti = twiddle_table(f, r, f * r, sign, dtype)
-            shape = (f,) + (1,) * i + rest + (1,)
+            shape = (f,) + (1,) * i + rest + (1,) * trail_ndim
             tables[("tw", i, factors)] = (tr.reshape(shape), ti.reshape(shape))
     return tables
 
@@ -530,8 +531,10 @@ def _int8_stage(xr, xi, f, axis, wch):
     error 4.7e-7 — inside the 2e-6 c64 gate with margin — at ~4.5
     bf16-pass-equivalents of MXU work vs HIGHEST's 6.
     """
-    a = jnp.maximum(jnp.abs(xr), jnp.abs(xi)).reshape(1, -1)
-    amax = jnp.max(a, axis=1, keepdims=True)
+    # reduce in place (a reshape(1, -1) flatten would force a full
+    # row-major relayout in Mosaic before the reduction)
+    a = jnp.maximum(jnp.abs(xr), jnp.abs(xi))
+    amax = jnp.max(a).reshape(1, 1)
     eb = (jax.lax.bitcast_convert_type(amax, jnp.int32) >> 23) & 0xFF
     m = jnp.clip(eb - 126, -40, 120)
     xs = jnp.concatenate([xr, xi], axis=axis)
@@ -587,14 +590,19 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
     or plain tracing (how tests pin the math without TPU hardware).
     ``sign`` only matters for butterfly factors; matmul stages carry the
     direction in their tables.
+
+    The tile may carry extra trailing dims beyond ``lanes`` — e.g.
+    (n, c, 128) for the multi-lane-tile column blocks — as long as the
+    tables were built with the matching ``trail_ndim``; every stage op
+    touches only leading axes, so the trailing layout rides along.
     """
-    lanes = re.shape[-1]
-    assert re.shape == (n, lanes), (re.shape, n)
+    trail = re.shape[1:]
+    assert re.shape[0] == n, (re.shape, n)
     factors = tuple(factors or default_factors(n))
     m = len(factors)
     fold = ("dftsfold", factors) in tables
-    xr = re.reshape(*factors, lanes)
-    xi = im.reshape(*factors, lanes)
+    xr = re.reshape(*factors, *trail)
+    xi = im.reshape(*factors, *trail)
     for i, f in enumerate(factors):
         if fold and i == m - 1:
             # folded final stage: the last twiddle round is baked into
@@ -628,7 +636,7 @@ def tile_fft(re, im, tables: dict, n: int, factors=None,
         if i < m - 1 and not (fold and i == m - 2):
             twr, twi = tables[("tw", i, factors)]
             xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
-    return xr.reshape(n, lanes), xi.reshape(n, lanes)
+    return xr.reshape(n, *trail), xi.reshape(n, *trail)
 
 
 def _kernel(n, layout, postscale, factors, precision, stacked, interleaved,
@@ -973,11 +981,12 @@ def _col_kernel(n, layout, postscale, factors, precision, stacked,
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "precision", "stacked",
     "lanes", "tw_n", "tw_mode", "tw_period", "swap_store", "swap_mid",
-    "alias_io"))
+    "alias_io", "ctile"))
 def _fft_cols(re, im, *, n, sign, postscale, interpret,
               factors=None, precision=_PRECISION, stacked=True, lanes=LANES,
               tw_n: int = 0, tw_mode: str = "full", tw_period: int = 0,
-              swap_store: bool = False, swap_mid: int = 0, alias_io=False):
+              swap_store: bool = False, swap_mid: int = 0, alias_io=False,
+              ctile: int = 0):
     """FFT over axis 1 of (L, n, T) planar arrays (column kernel).
 
     ``tw_n``: if nonzero, multiply the spectral output elementwise by the
@@ -1001,6 +1010,16 @@ def _fft_cols(re, im, *, n, sign, postscale, interpret,
     a (L, T//P, n, P) output — the transform digit is exchanged with only
     the leading T//P part of the trail, landing multi-level digits in
     final DFT order with zero VPU transposes.
+
+    ``ctile`` (= c > 0): process c lane tiles per grid step via a 4D
+    (1, n, c, lanes) block (minor dim stays ``lanes``; Pallas requires
+    c % 8 == 0).  KEPT AS A MEASURED NEGATIVE RESULT: built to amortize
+    an apparent ~3.4 us fixed per-step cost on small-n column passes,
+    but c=8 measured 1.16 ms vs the classic kernel's 0.45-0.50 on the
+    3D z-pass shape (probe_ctile, r3) — the 3D in-kernel tile costs
+    Mosaic relayouts that swamp the amortization, and the classic
+    kernel's "wall" turned out to be co-tenant congestion, not
+    per-step overhead.  Plain and "full"-twiddle passes only; opt-in.
     """
     with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
         return _fft_cols_inner(re, im, n=n, sign=sign, postscale=postscale,
@@ -1008,12 +1027,77 @@ def _fft_cols(re, im, *, n, sign, postscale, interpret,
                                precision=precision, stacked=stacked,
                                lanes=lanes, tw_n=tw_n, tw_mode=tw_mode,
                                tw_period=tw_period, swap_store=swap_store,
-                               swap_mid=swap_mid, alias_io=alias_io)
+                               swap_mid=swap_mid, alias_io=alias_io,
+                               ctile=ctile)
+
+
+def _fft_cols_ctile(re, im, *, n, sign, postscale, interpret,
+                    factors, precision, stacked, lanes, tw_n, alias_io,
+                    ctile):
+    """Multi-lane-tile column pass: (1, n, c, lanes) blocks, minor dim
+    fixed at ``lanes``; see _fft_cols ``ctile``."""
+    L, _, T = re.shape
+    assert T % lanes == 0, (T, lanes)
+    C = T // lanes
+    while ctile > 1 and C % ctile:      # clamp to a divisor of the tile count
+        ctile //= 2
+    factors = tuple(factors or default_factors(n))
+    tables = needed_tables(n, sign, factors=factors, stacked=stacked,
+                           precision=precision, trail_ndim=2)
+    layout = tuple((k, len(v)) for k, v in tables.items())
+    flat = [jnp.asarray(a) for v in tables.values() for a in v]
+    grid = (L, C // ctile)
+    tspec = [pl.BlockSpec(a.shape, lambda i, j, _nd=a.ndim: (0,) * _nd,
+                          memory_space=pltpu.VMEM) for a in flat]
+    extra = []
+    tw_kind = None
+    if tw_n:
+        tw_kind = "full"
+        twr, twi = twiddle_table(n, T, tw_n, sign)
+        extra = [jnp.asarray(twr).reshape(n, C, lanes),
+                 jnp.asarray(twi).reshape(n, C, lanes)]
+        tspec = tspec + [pl.BlockSpec((n, ctile, lanes),
+                                      lambda i, j: (0, j, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+    dspec = pl.BlockSpec((1, n, ctile, lanes), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((L, n, C, lanes), jnp.float32)
+    kern = functools.partial(_col_kernel, n, layout, postscale, factors,
+                             precision, stacked, tw_kind, 1, False, False,
+                             sign)
+    nd = len(tspec)
+    aliases = {nd: 0, nd + 1: 1} if alias_io else {}
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=tspec + [dspec, dspec],
+        out_specs=(dspec, dspec),
+        out_shape=(oshape, oshape),
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * sum(factors) * ctile * lanes * grid[0] * grid[1],
+            bytes_accessed=L * n * T * 4 * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*flat, *extra, re.reshape(L, n, C, lanes), im.reshape(L, n, C, lanes))
+    return out_r.reshape(L, n, T), out_i.reshape(L, n, T)
 
 
 def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
                     factors, precision, stacked, lanes, tw_n, tw_mode,
-                    tw_period, swap_store, swap_mid, alias_io):
+                    tw_period, swap_store, swap_mid, alias_io, ctile=0):
+    if ctile:
+        assert not swap_store and not swap_mid and precision != "int8"
+        assert not tw_n or tw_mode == "full", (tw_n, tw_mode)
+        return _fft_cols_ctile(re, im, n=n, sign=sign, postscale=postscale,
+                               interpret=interpret, factors=factors,
+                               precision=precision, stacked=stacked,
+                               lanes=lanes, tw_n=tw_n, alias_io=alias_io,
+                               ctile=ctile)
     L, _, T = re.shape
     factors = tuple(factors or default_factors(n))
     tables = needed_tables(n, sign, factors=factors, stacked=stacked,
@@ -1254,7 +1338,7 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
              precision: str = _PRECISION, stacked: bool = True,
              lanes: int = LANES, tw_n: int = 0, tw_mode: str = "full",
              tw_period: int = 0, swap_store: bool = False, swap_mid: int = 0,
-             alias_io: bool = False):
+             alias_io: bool = False, ctile: int = 0):
     """DFT along ``axis`` of planar f32 arrays.
 
     Last axis -> row kernel (in-VMEM transpose brackets); any other axis ->
@@ -1316,7 +1400,7 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
                            swap_mid=swap_mid, **kw)
         rr, ii = rr[..., :trail], ii[..., :trail]
         return rr.reshape(shape), ii.reshape(shape)
-    if (lanes == LANES and n <= 512 and trail % 256 == 0
+    if (not ctile and lanes == LANES and n <= 512 and trail % 256 == 0
             and not tw_n and not swap_store and not swap_mid):
         # small-n column blocks are per-step-overhead-bound; doubling the
         # lane tile measured +36% on the 3D z-pass (probe_col8)
@@ -1324,7 +1408,8 @@ def fft_axis(re, im, sign, *, axis, postscale: float = 1.0,
     rr, ii = _fft_cols(re.reshape(lead, n, trail),
                        im.reshape(lead, n, trail), tw_n=tw_n,
                        tw_mode=tw_mode, tw_period=tw_period,
-                       swap_store=swap_store, swap_mid=swap_mid, **kw)
+                       swap_store=swap_store, swap_mid=swap_mid,
+                       ctile=int(ctile or 0), **kw)
     if swap_store:
         oshape = shape[:axis] + shape[axis + 1:] + (n,)
         return rr.reshape(oshape), ii.reshape(oshape)

@@ -108,6 +108,23 @@ def test_column_kernel_parity(shape, axis):
     assert rel_err(got, ref) < TOL[np.complex64]
 
 
+@pytest.mark.parametrize("tw_n", [0, 256 * 16])
+def test_column_kernel_ctile(tw_n):
+    """Multi-lane-tile blocks (opt-in experiment; measured slower on TPU
+    but kept correct — see _fft_cols ``ctile``)."""
+    shape, axis = (2, 256, 1024), 1
+    x = rand_complex(shape, seed=7)
+    re, im = planar(x)
+    rr, ii = fft_axis(re, im, -1, axis=axis, tw_n=tw_n, ctile=8)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=axis)
+    if tw_n:
+        k = np.arange(256)[:, None]
+        j = np.arange(1024)[None, :]
+        ref = ref * np.exp(-2j * np.pi * k * j / tw_n)[None]
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
 def test_column_kernel_supported():
     import jax.numpy as jnp
     a = jnp.zeros((4, 1024, 256), jnp.float32)
