@@ -58,16 +58,20 @@ HBM_BW = 819e9  # v5e
 TIMEOUT_S = int(os.environ.get("PYFFT_TPU_BENCH_TIMEOUT", "900"))
 
 
-def _watchdog(signum, frame):
+def _emit_timeout_line():
     print(json.dumps({
         "metric": f"effective GFLOP/s, 1D c64 FFT N={N} batch={BATCH} (5N·log2N/t)",
         "value": 0.0,
         "unit": "GFLOP/s",
         "vs_baseline": 0.0,
         "extra": {"error": f"bench did not complete within {TIMEOUT_S}s "
-                           "(TPU compile service unresponsive)"},
+                           "(TPU backend/compile service unresponsive)"},
     }), flush=True)
     os._exit(2)
+
+
+def _watchdog(signum, frame):
+    _emit_timeout_line()
 
 
 def _force(tree):
@@ -75,6 +79,15 @@ def _force(tree):
 
 
 def main():
+    # Belt and braces: SIGALRM alone cannot interrupt a main thread wedged
+    # inside PJRT backend init (a C call never returns to the bytecode
+    # loop, so the Python handler is deferred forever — observed when the
+    # axon tunnel went down mid-round-3).  A daemon timer thread can still
+    # run and _exit the process.
+    import threading
+    _timer = threading.Timer(TIMEOUT_S, _emit_timeout_line)
+    _timer.daemon = True                 # never outlives a normal finish
+    _timer.start()
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(TIMEOUT_S)
     from pyfft_tpu.plan import Plan
