@@ -69,6 +69,17 @@ def _candidates(n: int):
         for c in opts:
             if c not in cands:
                 cands.append(c)
+    # pure-VPU chains (no MXU stage at all): probe_parts showed the whole
+    # butterfly+twiddle chain rides under the row kernel's DMA shadow and
+    # HIGHEST's MXU tail is the only unhidden cost; for col kernels
+    # (DMA+compute serial) trading 6 bf16 MXU passes for 1-2 extra VPU
+    # stages can also win.  Capped at n<=4096: deeper chains hold ~n*lanes
+    # live values that Mosaic spills (the MAX_BUTTERFLY_N concern).
+    if n <= 4096:
+        a, rem = divmod(p, 3)
+        pure = (8,) * a + ((4,) if rem == 2 else (2,) if rem == 1 else ())
+        if pure not in cands:
+            cands.append(pure)
     return cands
 
 
