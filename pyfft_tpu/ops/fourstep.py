@@ -48,18 +48,36 @@ def _split_cost(n: int) -> float:
     return _COL_UNIT_COST.get(n, 1.5)
 
 
+def _tuned_split(kind: str, n: int, parts: int, max_local: int, lanes: int):
+    """A machine-measured split from the autotune record (utils/tune), or
+    None.  Validated against the caller's constraints so a stale or
+    foreign record can never produce an uncompilable plan — it is simply
+    ignored and the static cost model decides."""
+    v = pallas_local._tuned_factors(kind, n)
+    if (not v or len(v) != parts or math.prod(v) != n
+            or any(not is_power_of_two(f) or f > max_local or f < lanes
+                   for f in v)):
+        return None
+    return tuple(int(f) for f in v)
+
+
 def choose_split(n: int, max_local: int | None = None) -> tuple[int, int]:
     """(n1, n2) with n1*n2 = n, both <= max_local, minimizing measured cost.
 
-    Both passes move the full array once, so the cost model is the sum of
-    the measured per-element pass costs of the two axis lengths (ties break
-    toward the balanced split, which has the lower VMEM peak).  Both
-    factors must give the column kernels at least one 128-lane trail tile,
-    so no valid split exists for max_local < n < 128*128: callers must
-    handle the ValueError (the planner falls back to XLA).
+    An autotune record for this machine (``split:{n}`` — utils/tune) wins
+    outright; otherwise the cost model is the sum of the measured
+    per-element pass costs of the two axis lengths, since both passes move
+    the full array once (ties break toward the balanced split, which has
+    the lower VMEM peak).  Both factors must give the column kernels at
+    least one 128-lane trail tile, so no valid split exists for
+    max_local < n < 128*128: callers must handle the ValueError (the
+    planner falls back to XLA).
     """
     max_local = max_local or pallas_local.MAX_LOCAL_N
     lanes = pallas_local.LANES
+    t = _tuned_split("split", n, 2, max_local, lanes)
+    if t is not None:
+        return t
     p = n.bit_length() - 1
     best = None
     for p1 in range(1, p):
@@ -99,9 +117,13 @@ def choose_split3(n: int, max_local: int | None = None
     """(n1, m1, m2) for the two-level (six-step) decomposition of huge n:
     n = n1*m1*m2, every factor a local-kernel size, n1 >= LANES (the
     mid-swap period must be a whole number of lane tiles) and m2 >= LANES
-    (pass-2's twiddle stride needs whole tiles per column)."""
+    (pass-2's twiddle stride needs whole tiles per column).  An autotune
+    record (``split3:{n}``) wins over the static cost model."""
     max_local = max_local or pallas_local.MAX_LOCAL_N
     lanes = pallas_local.LANES
+    t = _tuned_split("split3", n, 3, max_local, lanes)
+    if t is not None:
+        return t
     p = n.bit_length() - 1
     best = None
     for p1 in range(7, p):
@@ -275,12 +297,18 @@ def fft_axis_mid(re, im, sign, *, axis, postscale: float = 1.0,
 
 def fft_axis_large(re, im, sign, *, axis, postscale: float = 1.0,
                    max_local: int | None = None,
-                   interpret: bool | None = None, fast_math: bool = True):
-    """Large-N DFT along the last axis of planar f32 arrays."""
+                   interpret: bool | None = None, fast_math: bool = True,
+                   split: tuple[int, int] | None = None):
+    """Large-N DFT along the last axis of planar f32 arrays.
+
+    ``split`` forces a specific (n1, n2) decomposition — the autotuner's
+    hook for measuring split candidates against each other."""
     axis = axis % re.ndim
     assert axis == re.ndim - 1, "four-step global path covers the last axis"
     n = re.shape[-1]
-    n1, n2 = choose_split(n, max_local)
+    n1, n2 = split or choose_split(n, max_local)
+    if n1 * n2 != n:
+        raise ValueError(f"split {n1}x{n2} does not factor n={n}")
     lead = re.shape[:-1]
     f1 = f2 = None
     if not fast_math:

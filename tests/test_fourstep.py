@@ -150,3 +150,56 @@ def test_planner_schedules_mid_axis():
     # both axes large: four-step on each, no XLA pass (VERDICT r2 item 4)
     p = planner.build_plan((16384, 16384), np.complex64, on_tpu=True)
     assert [q.executor for q in p.passes] == ["fourstep", "fourstep"]
+
+
+def test_autotuned_split_override(tmp_path, monkeypatch):
+    """utils.tune ``split:{n}`` / ``split3:{n}`` winners override the static
+    cost model, and invalid records (wrong product, over-ceiling factors)
+    are ignored rather than scheduled (VERDICT r2 item 9)."""
+    import json
+
+    from pyfft_tpu.ops import pallas_local
+    from pyfft_tpu.utils import tune
+
+    path = tmp_path / "tuned.json"
+    json.dump({
+        "split:4194304": [512, 8192],          # valid, non-default
+        "split:1048576": [512, 512],           # product != n: ignored
+        "split:16777216": [16384, 1024],       # factor > max_local: ignored
+        "split3:134217728": [512, 1024, 256],  # valid three-level
+    }, open(path, "w"))
+    monkeypatch.setenv("PYFFT_TPU_TUNE_FILE", str(path))
+    pallas_local.reload_tuned()
+    try:
+        assert fourstep.choose_split(1 << 22) == (512, 8192)
+        assert fourstep.choose_split(1 << 20) != (512, 512)
+        n1, n2 = fourstep.choose_split(1 << 24)
+        assert n1 <= 8192 and n2 <= 8192 and n1 * n2 == 1 << 24
+        assert fourstep.choose_split3(1 << 27) == (512, 1024, 256)
+        # a tuned record never leaks past a caller's tighter ceiling
+        assert fourstep.choose_split(1 << 22, max_local=4096) != (512, 8192)
+        # candidate generator: valid decompositions only
+        for s in tune._split_candidates(1 << 22):
+            assert s[0] * s[1] == 1 << 22
+            assert 128 <= s[0] <= 8192 and 128 <= s[1] <= 8192
+    finally:
+        empty = tmp_path / "empty.json"
+        json.dump({}, open(empty, "w"))
+        monkeypatch.setenv("PYFFT_TPU_TUNE_FILE", str(empty))
+        pallas_local.reload_tuned()
+        pallas_local._TUNED = None
+
+
+def test_fourstep_forced_split_parity():
+    """The autotuner's split= hook computes the same transform for every
+    candidate decomposition."""
+    n = 16384
+    x = rand_complex((2, n), seed=3)
+    re, im = planar(x)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    rr, ii = fourstep.fft_axis_large(re, im, -1, axis=-1, max_local=8192,
+                                     split=(128, 128), interpret=True)
+    assert rel_err(np.asarray(rr) + 1j * np.asarray(ii), ref) < TOL[np.complex64]
+    with pytest.raises(ValueError):
+        fourstep.fft_axis_large(re, im, -1, axis=-1, split=(128, 64),
+                                interpret=True)
