@@ -62,6 +62,16 @@ re, im = pr.execute(jnp.asarray(x[:, :512].real),
 ref = 0.5 * np.fft.fft(x[:, :512].astype(np.complex128), axis=-1)
 check("split form + scale", np.asarray(re) + 1j * np.asarray(im), ref, 2e-6)
 
+# 5b. c128 default df64 chains (r3 rank-4 stage layout: local row + the
+# four-step col/row composition are the paths the layout rework touches)
+xd = cplx((8, 2048), np.complex128)
+check("fft c128 local n=2048", fft(xd),
+      np.fft.fft(xd, axis=-1), 1e-11)
+xdl = cplx((2, 1 << 16), np.complex128)
+check("fft c128 four-step n=2^16", fft(xdl),
+      np.fft.fft(xdl, axis=-1), 1e-11)
+check("ifft(fft) c128 roundtrip", ifft(fft(xd)), xd, 1e-11)
+
 # 6. error cases
 try:
     Plan((24,))

@@ -191,8 +191,10 @@ def _mxu_stage_df64(x, f, axis, wch, sign):
     """f-point DFT over ``axis`` of the df64 quad ``x`` via exact int8 MXU
     products.  Output digit prepended at axis 0 (dot_general convention)."""
     rh, rl, ih, il = x
-    a = jnp.maximum(jnp.abs(rh), jnp.abs(ih)).reshape(1, -1)
-    amax = jnp.max(a, axis=1, keepdims=True)                # (1, 1) f32
+    # reduce in place (no reshape(1, -1) flatten: that forces a full
+    # row-major relayout in Mosaic before the reduction)
+    a = jnp.maximum(jnp.abs(rh), jnp.abs(ih))
+    amax = jnp.max(a).reshape(1, 1)                          # (1, 1) f32
     eb = (jax.lax.bitcast_convert_type(amax, jnp.int32) >> 23) & 0xFF
     m = jnp.clip(eb - 126, -40, 120)    # 2^m >= amax, clamped for safety
 
@@ -263,7 +265,10 @@ def needed_tables_df64(n: int, sign: int, factors=None) -> dict:
         k = np.arange(f).reshape(-1, 1)
         j = np.arange(r).reshape(1, -1)
         ang = sign * 2.0 * np.pi * (k * j) / (f * r)
-        shape = (f,) + (1,) * i + rest + (1,)
+        # rank-4 (f, 1, r, 1): broadcasts over the (digit, L, rest, lanes)
+        # stage layout of tile_fft_df64 — rank stays <= 4 for any chain
+        # length (the r2 multi-axis views cost ~2.5-3x in Mosaic relayouts)
+        shape = (f, 1, r, 1)
         trh, trl = df64_const(np.cos(ang))
         tih, til = df64_const(np.sin(ang))
         tables[("tw", i, factors)] = tuple(
@@ -292,9 +297,12 @@ def _mul_pi(x, sign):
     return (-ih, -il, rh, rl)
 
 
-def _slice4(planes, f, axis):
-    return [tuple(jax.lax.index_in_dim(p, j, axis, keepdims=False)
-                  for p in planes) for j in range(f)]
+def _slice4(planes, f):
+    """The f digit slices of rank-4 (L, f, R, lanes) planes.  Axis 1 is
+    third-from-minor, so each slice is a contiguous sublane-row range —
+    no Mosaic relayout (the r2 form sliced ever-deeper axes of a
+    rank-(m+1) view, which measured ~2.5-3x over static flop counts)."""
+    return [tuple(p[:, j] for p in planes) for j in range(f)]
 
 
 def _fft4_quads(xs, sign):
@@ -339,15 +347,16 @@ def _mul_w8_odd(x, k, sign):
     return (-sh, -sl, -dh, -dl)
 
 
-def _butterfly_df64(f, planes, axis, sign):
-    """f-point DFT (f in 2, 4, 8) over ``axis`` of a complex-df64 quad.
+def _butterfly_df64(f, planes, sign):
+    """f-point DFT (f in 2, 4, 8) over axis 1 of an (L, f, R, lanes)
+    complex-df64 quad.
 
     Radix-2/4: pure additions and +-i swaps — exact in df64.  Radix-8:
     fused 2x4 with the w8 constants as df64 scalars (~2^-48 each, the
     same error class as the inter-stage twiddles).  Output digit
     prepended at axis 0 (dot_general convention, matching c64).
     """
-    xs = _slice4(planes, f, axis)
+    xs = _slice4(planes, f)
     if f == 2:
         ys = [_cadd(xs[0], xs[1]), _csub(xs[0], xs[1])]
     elif f == 4:
@@ -373,33 +382,46 @@ def tile_fft_df64(planes, tables: dict, n: int, factors=None, sign=-1):
     as exact int8-split DFT contractions on the MXU (both prepend the
     output digit at axis 0, so they compose freely in one chain).  When
     the per-digit folded tail tables are present, the last df64 twiddle
-    round is skipped entirely (it lives inside the int8 channels)."""
+    round is skipped entirely (it lives inside the int8 channels).
+
+    Layout discipline (r3): every stage views the quad as rank-4
+    (L, f, R, lanes) — L = digits emitted so far (newest major), R =
+    factors still to come — so slices/stacks only ever touch the two
+    leading axes and the minor (sublane, lane) pair is never disturbed.
+    The r2 form kept one array axis per factor and sliced ever-deeper
+    axes, which Mosaic paid for in relayouts (~2.5-3x over static flop
+    counts on the VPU chains)."""
     lanes = planes[0].shape[-1]
     factors = tuple(factors or default_factors_df64(n))
     m = len(factors)
     fold = ("wi8fold", factors) in tables
-    x = tuple(p.reshape(*factors, lanes) for p in planes)
+    L, R = 1, n
+    x = tuple(p.reshape(1, n, lanes) for p in planes)   # (L, f*R, lanes)
     for i, f in enumerate(factors):
+        R //= f
         if fold and i == m - 1:
             flat = tables[("wi8fold", factors)]
             nch = len(_W_SHIFTS)
             f_prev = factors[m - 2]
+            x4 = tuple(p.reshape(f_prev, L // f_prev, f, lanes) for p in x)
             outs = []
             for j in range(f_prev):
-                xj = tuple(jax.lax.index_in_dim(p, j, 0, keepdims=False)
-                           for p in x)
+                xj = tuple(p[j] for p in x4)            # (L/f_prev, f, lanes)
                 wch = flat[j * nch:(j + 1) * nch]
-                outs.append(_mxu_stage_df64(xj, f, i - 1, wch, sign))
+                outs.append(_mxu_stage_df64(xj, f, 1, wch, sign))
             x = tuple(jnp.stack([o[k] for o in outs], axis=1)
-                      for k in range(4))
+                      for k in range(4))         # (f, f_prev, L/f_prev, ln)
             break
+        x4 = tuple(p.reshape(L, f, R, lanes) for p in x)
         if f >= MXU_MIN_F:
-            x = _mxu_stage_df64(x, f, i, tables[("wint8", f, sign)], sign)
+            y = _mxu_stage_df64(x4, f, 1, tables[("wint8", f, sign)], sign)
         else:
-            x = _butterfly_df64(f, x, i, sign)
+            y = _butterfly_df64(f, x4, sign)            # (f, L, R, lanes)
         if i < m - 1 and not (fold and i == m - 2):
-            trh, trl, tih, til = tables[("tw", i, factors)]
-            x = df_cmul(x[0], x[1], x[2], x[3], trh, trl, tih, til)
+            trh, trl, tih, til = tables[("tw", i, factors)]   # (f, 1, R, 1)
+            y = df_cmul(y[0], y[1], y[2], y[3], trh, trl, tih, til)
+        L *= f
+        x = tuple(p.reshape(L, R, lanes) for p in y)
     return tuple(p.reshape(n, lanes) for p in x)
 
 
@@ -741,6 +763,12 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
 
 
 def _choose_split_df64(n: int, max_local: int) -> tuple[int, int]:
+    """Balanced (n1, n2) split, unless this machine's autotune record
+    (``dsplit:{n}`` — utils/tune) has measured a better one."""
+    from pyfft_tpu.ops.fourstep import _tuned_split
+    t = _tuned_split("dsplit", n, 2, max_local, LANES)
+    if t is not None:
+        return t
     p = n.bit_length() - 1
     p1 = (p + 1) // 2
     return 1 << p1, 1 << (p - p1)
@@ -750,7 +778,8 @@ def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
                         max_local: int | None = None,
                         swap_max: int | None = None,
                         interpret: bool | None = None,
-                        fast_math: bool = True):
+                        fast_math: bool = True,
+                        split: tuple[int, int] | None = None):
     """Four-step df64 DFT over the last axis.
 
     Two forms, chosen by the measured compile ceilings:
@@ -761,6 +790,8 @@ def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
     * three-pass (up to max_local^2): column pass with fused twiddle (no
       swap), row pass with the scale folded in, then one XLA digit-swap
       transpose of the four f32 planes.
+
+    ``split`` forces a specific (n1, n2) — the autotuner's hook.
     """
     rh = planes[0]
     axis = axis % rh.ndim
@@ -768,7 +799,9 @@ def fft_axis_large_df64(planes, sign, *, axis, postscale: float = 1.0,
     n = rh.shape[-1]
     max_local = max_local or MAX_LOCAL_N_DF64
     swap_max = swap_max or min(SWAP_MAX_DF64, max_local)
-    n1, n2 = _choose_split_df64(n, max_local)
+    n1, n2 = split or _choose_split_df64(n, max_local)
+    if n1 * n2 != n:
+        raise ValueError(f"split {n1}x{n2} does not factor n={n}")
     lead = rh.shape[:-1]
     if n1 > swap_max and n2 <= swap_max:
         n1, n2 = n2, n1

@@ -83,14 +83,15 @@ def _candidates(n: int):
     return cands
 
 
-def _split_candidates(n: int):
+def _split_candidates(n: int, max_local: int | None = None):
     """Valid (n1, n2) four-step decompositions of n, balanced first."""
     from pyfft_tpu.ops.pallas_local import LANES, MAX_LOCAL_N
+    max_local = max_local or MAX_LOCAL_N
     p = n.bit_length() - 1
     out = []
     for p1 in range(1, p):
         n1, n2 = 1 << p1, 1 << (p - p1)
-        if LANES <= n1 <= MAX_LOCAL_N and LANES <= n2 <= MAX_LOCAL_N:
+        if LANES <= n1 <= max_local and LANES <= n2 <= max_local:
             out.append((n1, n2))
     out.sort(key=lambda s: abs(s[0].bit_length() - s[1].bit_length()))
     return out
@@ -103,45 +104,66 @@ def autotune(ns, kinds=("row", "col"), volume: int = 1 << 24,
     Kinds: ``row``/``col`` tune the local factor chains; ``split`` tunes
     the four-step (n1, n2) decomposition for n beyond the local ceiling
     (the winner lands as ``split:{n}`` and ``ops.fourstep.choose_split``
-    consults it before the static cost model).  Returns the full tuned
-    dict.  Runs on the current default backend — meaningful only on real
-    TPU hardware.
+    consults it before the static cost model); ``dsplit`` is the df64
+    (complex128) analog, landing as ``dsplit:{n}``.  Returns the full
+    tuned dict.  Runs on the current default backend — meaningful only on
+    real TPU hardware.
     """
     import jax
     import jax.numpy as jnp
 
-    from pyfft_tpu.ops import fourstep, pallas_local
+    from pyfft_tpu.ops import fourstep, pallas_df64, pallas_local
     from pyfft_tpu.utils.profiling import time_scan_chain
+
+    def _measure_splits(label, cands, make_fn, args):
+        best = None
+        for s in cands:
+            try:
+                dt = time_scan_chain(make_fn(s), args, trials=trials)
+            except Exception as e:              # compile ceiling etc.
+                if verbose:
+                    print(f"  {label} {s}: failed "
+                          f"({str(e).splitlines()[0][:60]})", flush=True)
+                continue
+            if verbose:
+                print(f"  {label} {s}: {dt*1e3:.3f} ms", flush=True)
+            if best is None or dt < best[0]:
+                best = (dt, s)
+        return best
 
     tuned = load_tuned()
     for n in ns:
         n = int(n)
         if "split" in kinds and n > pallas_local.MAX_LOCAL_N:
-            best = None
             rows = max(1, volume // n)
             k1, k2 = jax.random.split(jax.random.PRNGKey(2))
             re = jax.random.normal(k1, (rows, n), jnp.float32)
             im = jax.random.normal(k2, (rows, n), jnp.float32)
-            for s in _split_candidates(n):
-                fn = (lambda r, i, _s=s: fourstep.fft_axis_large(
-                    r, i, -1, axis=-1, split=_s))
-                try:
-                    dt = time_scan_chain(fn, (re, im), trials=trials)
-                except Exception as e:          # compile ceiling etc.
-                    if verbose:
-                        print(f"  split n={n} {s}: failed "
-                              f"({str(e).splitlines()[0][:60]})", flush=True)
-                    continue
-                if verbose:
-                    print(f"  split n={n} {s}: {dt*1e3:.3f} ms", flush=True)
-                if best is None or dt < best[0]:
-                    best = (dt, s)
+            best = _measure_splits(
+                f"split n={n}", _split_candidates(n),
+                lambda s: (lambda r, i, _s=s: fourstep.fft_axis_large(
+                    r, i, -1, axis=-1, split=_s)),
+                (re, im))
             if best is not None:
                 tuned[f"split:{n}"] = list(best[1])
-            continue
+        if "dsplit" in kinds and n > pallas_df64.MAX_LOCAL_N_DF64:
+            rows = max(1, volume // n)
+            ks = jax.random.split(jax.random.PRNGKey(3), 4)
+            quad = tuple(jax.random.normal(k, (rows, n), jnp.float32) * sc
+                         for k, sc in zip(ks, (1.0, 1e-8, 1.0, 1e-8)))
+            best = _measure_splits(
+                f"dsplit n={n}",
+                _split_candidates(n, pallas_df64.MAX_LOCAL_N_DF64),
+                lambda s: (lambda *p, _s=s: pallas_df64.fft_axis_large_df64(
+                    p, -1, axis=-1, split=_s)),
+                quad)
+            if best is not None:
+                tuned[f"dsplit:{n}"] = list(best[1])
+        if n > pallas_local.MAX_LOCAL_N:
+            continue         # row/col factor chains are local-kernel sizes
         cands = _candidates(n)
         for kind in kinds:
-            if kind == "split":
+            if kind in ("split", "dsplit"):
                 continue
             best = None
             for c in cands:

@@ -229,3 +229,69 @@ def test_df64_default_chain_uses_radix8():
     # n=4096 stays radix-4: radix-8's live slices blow the VMEM scoped
     # limit there (measured 121M > 100M on TPU)
     assert pallas_df64.mxu_factors_df64(4096) == (4, 4, 4, 64)
+
+
+def test_tile_fft_df64_rank4_layout():
+    """The r3 stage-layout contract: tile_fft_df64 works directly on
+    (n, lanes) quads with the rank-4 (f, 1, r, 1) twiddle tables, for
+    butterfly-only, MXU-tail, and folded-tail chains alike."""
+    for n, factors in ((256, (4, 4, 4, 4)),       # butterflies only
+                       (256, (4, 64,)),           # MXU tail, no fold
+                       (512, (8, 64,))):          # folded tail
+        x = _rand((n, 128), n) + 1j * _rand((n, 128), n + 9)
+        tabs = pallas_df64.needed_tables_df64(n, -1, factors)
+        for k, v in tabs.items():
+            if k[0] == "tw":
+                assert all(a.ndim == 4 and a.shape[1] == a.shape[3] == 1
+                           for a in v), (k, [a.shape for a in v])
+        planes = tuple(jnp.asarray(p) for p in _quad(x))
+        tabs_j = {k: tuple(jnp.asarray(a) for a in v)
+                  for k, v in tabs.items()}
+        out = pallas_df64.tile_fft_df64(planes, tabs_j, n, factors)
+        got = _unquad(out)
+        ref = np.fft.fft(x, axis=0)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11, factors
+
+
+def test_df64_autotuned_dsplit_override(tmp_path, monkeypatch):
+    """``dsplit:{n}`` autotune records steer the df64 four-step split;
+    invalid records are ignored (the c128 analog of split:{n})."""
+    import json
+
+    from pyfft_tpu.ops import pallas_local
+
+    path = tmp_path / "tuned.json"
+    json.dump({
+        "dsplit:4194304": [1024, 4096],      # valid, non-balanced
+        "dsplit:1048576": [256, 256],        # product != n: ignored
+    }, open(path, "w"))
+    monkeypatch.setenv("PYFFT_TPU_TUNE_FILE", str(path))
+    pallas_local.reload_tuned()
+    try:
+        assert pallas_df64._choose_split_df64(1 << 22, 4096) == (1024, 4096)
+        assert pallas_df64._choose_split_df64(1 << 20, 4096) == (1024, 1024)
+        # a record over the caller's ceiling falls back to balanced
+        assert pallas_df64._choose_split_df64(1 << 22, 2048) == (2048, 2048)
+    finally:
+        empty = tmp_path / "empty.json"
+        json.dump({}, open(empty, "w"))
+        monkeypatch.setenv("PYFFT_TPU_TUNE_FILE", str(empty))
+        pallas_local.reload_tuned()
+        pallas_local._TUNED = None
+
+
+def test_df64_fourstep_forced_split_parity():
+    """The autotuner's split= hook: every candidate decomposition computes
+    the same transform (two-pass and three-pass forms both)."""
+    n = 1 << 16
+    x = _rand((2, n), 23) + 1j * _rand((2, n), 24)
+    ref = np.fft.fft(x, axis=-1)
+    for split in ((128, 512), (512, 128)):
+        out = pallas_df64.fft_axis_large_df64(
+            _quad(x), -1, axis=-1, max_local=512, swap_max=256,
+            split=split, interpret=True)
+        got = _unquad(out)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12, split
+    with pytest.raises(ValueError):
+        pallas_df64.fft_axis_large_df64(_quad(x), -1, axis=-1,
+                                        split=(128, 128), interpret=True)
