@@ -64,6 +64,8 @@ check("split form + scale", np.asarray(re) + 1j * np.asarray(im), ref, 2e-6)
 
 # 5b. c128 default df64 chains (r3 rank-4 stage layout: local row + the
 # four-step col/row composition are the paths the layout rework touches)
+import jax
+jax.config.update("jax_enable_x64", True)
 xd = cplx((8, 2048), np.complex128)
 check("fft c128 local n=2048", fft(xd),
       np.fft.fft(xd, axis=-1), 1e-11)
