@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from pyfft_tpu.ops import pallas_local
-from pyfft_tpu.ops.pallas_stream import fft_cols_stream
+from benchmarks.pallas_stream import fft_cols_stream
 from pyfft_tpu.utils.profiling import time_scan_chain
 
 HBM_BW = 819e9

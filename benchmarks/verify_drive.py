@@ -62,17 +62,9 @@ re, im = pr.execute(jnp.asarray(x[:, :512].real),
 ref = 0.5 * np.fft.fft(x[:, :512].astype(np.complex128), axis=-1)
 check("split form + scale", np.asarray(re) + 1j * np.asarray(im), ref, 2e-6)
 
-# 5b. c128 default df64 chains (r3 rank-4 stage layout: local row + the
-# four-step col/row composition are the paths the layout rework touches)
-import jax
-jax.config.update("jax_enable_x64", True)
-xd = cplx((8, 2048), np.complex128)
-check("fft c128 local n=2048", fft(xd),
-      np.fft.fft(xd, axis=-1), 1e-11)
-xdl = cplx((2, 1 << 16), np.complex128)
-check("fft c128 four-step n=2^16", fft(xdl),
-      np.fft.fft(xdl, axis=-1), 1e-11)
-check("ifft(fft) c128 roundtrip", ifft(fft(xd)), xd, 1e-11)
+# 5b. c128 checks live in verify_df64.py: each fresh df64 kernel costs
+# 20-40 s on the shared compile service, so the c64 drive and the c128
+# drive each fit one watchdog window on their own.
 
 # 6. error cases
 try:

@@ -56,7 +56,15 @@ def _transform(x, ndim, inverse, axes=None, **kwargs):
             x = mover.moveaxis(x, axes, trailing)
             moved = (trailing, axes)
     shape = tuple(x.shape[-ndim:])
-    dtype = x.dtype if np.dtype(x.dtype).kind == "c" else np.complex64
+    xdt = np.dtype(x.dtype)
+    if xdt.kind == "c":
+        dtype = x.dtype
+    elif xdt == np.float64:
+        # real f64 input keeps full precision through a complex128 plan
+        # (previously this silently downcast to a complex64 plan)
+        dtype = np.complex128
+    else:
+        dtype = np.complex64
     plan = get_plan(shape, dtype, **kwargs)
     out = plan.execute(x, inverse=inverse)
     if moved is not None:

@@ -163,7 +163,8 @@ def supported_huge(re, axis: int, max_local: int | None = None) -> bool:
 
 def fft_axis_huge(re, im, sign, *, axis, postscale: float = 1.0,
                   max_local: int | None = None,
-                  interpret: bool | None = None, fast_math: bool = True):
+                  interpret: bool | None = None, fast_math: bool = True,
+                  split3: tuple[int, int, int] | None = None):
     """Two-level (six-step) DFT for n beyond one four-step level.
 
     n = n1*m1*m2 with every factor a local-kernel size; three fused column
@@ -187,7 +188,9 @@ def fft_axis_huge(re, im, sign, *, axis, postscale: float = 1.0,
     axis = axis % re.ndim
     assert axis == re.ndim - 1, "huge path covers the last axis"
     n = re.shape[-1]
-    n1, m1, m2 = choose_split3(n, max_local)
+    n1, m1, m2 = split3 or choose_split3(n, max_local)
+    if n1 * m1 * m2 != n:
+        raise ValueError(f"split3 {n1}x{m1}x{m2} does not factor n={n}")
     n2 = m1 * m2
     lead = re.shape[:-1]
     f1 = f2 = f3 = None

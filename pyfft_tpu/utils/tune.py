@@ -97,6 +97,27 @@ def _split_candidates(n: int, max_local: int | None = None):
     return out
 
 
+def _split3_candidates(n: int, max_local: int | None = None):
+    """Valid (n1, m1, m2) six-step decompositions of n, balanced first,
+    matching choose_split3's constraints (n1 and m2 each at least one lane
+    tile; every factor a local-kernel size)."""
+    from pyfft_tpu.ops.pallas_local import LANES, MAX_LOCAL_N
+    max_local = max_local or MAX_LOCAL_N
+    p = n.bit_length() - 1
+    out = []
+    for p1 in range(7, p):
+        n1 = 1 << p1
+        if n1 > max_local:
+            break
+        for q1 in range(7, p - p1):
+            m1, m2 = 1 << q1, (n // n1) >> q1
+            if m1 > max_local or m2 > max_local or m2 < LANES:
+                continue
+            out.append((n1, m1, m2))
+    out.sort(key=lambda s: max(s) - min(s))
+    return out
+
+
 def autotune(ns, kinds=("row", "col"), volume: int = 1 << 24,
              trials: int = 4, verbose: bool = True) -> dict:
     """Measure candidates per (kind, n) and persist the winners.
@@ -104,8 +125,11 @@ def autotune(ns, kinds=("row", "col"), volume: int = 1 << 24,
     Kinds: ``row``/``col`` tune the local factor chains; ``split`` tunes
     the four-step (n1, n2) decomposition for n beyond the local ceiling
     (the winner lands as ``split:{n}`` and ``ops.fourstep.choose_split``
-    consults it before the static cost model); ``dsplit`` is the df64
-    (complex128) analog, landing as ``dsplit:{n}``.  Returns the full
+    consults it before the static cost model); ``split3`` tunes the
+    two-level six-step (n1, m1, m2) decomposition for n beyond one
+    four-step level (landing as ``split3:{n}`` for ``choose_split3``);
+    ``dsplit`` is the df64 (complex128) analog, landing as
+    ``dsplit:{n}``.  Returns the full
     tuned dict.  Runs on the current default backend — meaningful only on
     real TPU hardware.
     """
@@ -146,6 +170,19 @@ def autotune(ns, kinds=("row", "col"), volume: int = 1 << 24,
                 (re, im))
             if best is not None:
                 tuned[f"split:{n}"] = list(best[1])
+        if ("split3" in kinds
+                and n > pallas_local.MAX_LOCAL_N * pallas_local.MAX_LOCAL_N):
+            rows = max(1, volume // n)
+            k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+            re = jax.random.normal(k1, (rows, n), jnp.float32)
+            im = jax.random.normal(k2, (rows, n), jnp.float32)
+            best = _measure_splits(
+                f"split3 n={n}", _split3_candidates(n),
+                lambda s: (lambda r, i, _s=s: fourstep.fft_axis_huge(
+                    r, i, -1, axis=-1, split3=_s)),
+                (re, im))
+            if best is not None:
+                tuned[f"split3:{n}"] = list(best[1])
         if "dsplit" in kinds and n > pallas_df64.MAX_LOCAL_N_DF64:
             rows = max(1, volume // n)
             ks = jax.random.split(jax.random.PRNGKey(3), 4)

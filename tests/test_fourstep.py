@@ -203,3 +203,26 @@ def test_fourstep_forced_split_parity():
     with pytest.raises(ValueError):
         fourstep.fft_axis_large(re, im, -1, axis=-1, split=(128, 64),
                                 interpret=True)
+
+
+def test_sixstep_forced_split3_parity():
+    """The autotuner's split3= hook (``autotune(kinds=("split3",))``)
+    computes the same transform for every candidate decomposition, and the
+    candidate generator only emits valid ones (VERDICT r3 item 6)."""
+    from pyfft_tpu.utils import tune
+
+    n = 1 << 22
+    x = rand_complex((1, n), seed=4)
+    re, im = planar(x)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    rr, ii = fourstep.fft_axis_huge(re, im, -1, axis=-1, max_local=1024,
+                                    split3=(128, 128, 256), interpret=True)
+    assert rel_err(np.asarray(rr) + 1j * np.asarray(ii), ref) < TOL[np.complex64]
+    with pytest.raises(ValueError):
+        fourstep.fft_axis_huge(re, im, -1, axis=-1, split3=(128, 128, 128),
+                               interpret=True)
+    cands = tune._split3_candidates(1 << 27)
+    assert cands, "2^27 must have six-step candidates"
+    for n1, m1, m2 in cands:
+        assert n1 * m1 * m2 == 1 << 27
+        assert 128 <= n1 <= 8192 and m1 <= 8192 and 128 <= m2 <= 8192
