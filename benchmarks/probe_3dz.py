@@ -6,9 +6,12 @@ row+swap-store pass pairs, manual double-buffer streaming.  This probe
 times the genuinely untried shapes:
 
   zcol      production z-pass: col kernel (1, Z, lanes=256) blocks
-  zrow      grid over y, (Z, 1, X) STRIDED blocks: the kernel sees a
-            (Z, X) tile (z on sublanes, x on lanes) — per-step bytes
-            match the 512^2 fused tile, strided DMA measured free
+  zrow      grid over y/8, (Z, 8, X) STRIDED blocks: the kernel sees 8
+            (Z, X) tiles (z on sublanes, x on lanes) — per-step bytes
+            exceed the 512^2 fused tile, strided DMA measured free.
+            ((Z, 1, X) blocks are illegal: Mosaic requires the
+            second-minor block dim divisible by 8 or equal to the
+            array dim — r4 queue crash 13:35Z.)
   zvpu      production z-pass with the pure-VPU (8,8,4) chain (no MXU
             tail: col kernels pay compute serially, so cutting the 6
             bf16 passes is a direct win if the VPU rounds stay cheaper)
@@ -55,7 +58,7 @@ def report(name, fn, args, nb):
     return dt
 
 
-def _zrow_kernel(n, layout, factors, sign, *refs):
+def _zrow_kernel(n, by, layout, factors, sign, *refs):
     nt = sum(arity for _, arity in layout)
     tables = {}
     pos = 0
@@ -63,15 +66,16 @@ def _zrow_kernel(n, layout, factors, sign, *refs):
         tables[k] = tuple(refs[pos + j][:] for j in range(arity))
         pos += arity
     re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
-    xr, xi = tile_fft(re_ref[:, 0, :], im_ref[:, 0, :], tables, n, factors,
-                      "highest", True, sign)
-    or_ref[:, 0, :] = xr
-    oi_ref[:, 0, :] = xi
+    for j in range(by):
+        xr, xi = tile_fft(re_ref[:, j, :], im_ref[:, j, :], tables, n,
+                          factors, "highest", True, sign)
+        or_ref[:, j, :] = xr
+        oi_ref[:, j, :] = xi
 
 
-@functools.partial(jax.jit, static_argnames=("sign", "factors"))
-def zrow(re, im, sign=-1, factors=None):
-    """FFT over axis 0 of (Z, Y, X) with (Z, 1, X) strided blocks."""
+@functools.partial(jax.jit, static_argnames=("sign", "factors", "by"))
+def zrow(re, im, sign=-1, factors=None, by=8):
+    """FFT over axis 0 of (Z, Y, X) with (Z, by, X) strided blocks."""
     with jax.enable_x64(False):
         z, y, x = re.shape
         factors = tuple(factors or pallas_local.col_factors(z))
@@ -80,65 +84,17 @@ def zrow(re, im, sign=-1, factors=None):
         flat = [jnp.asarray(a) for v in tables.values() for a in v]
         tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
                               memory_space=pltpu.VMEM) for a in flat]
-        dspec = pl.BlockSpec((z, 1, x), lambda i: (0, i, 0),
+        dspec = pl.BlockSpec((z, by, x), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-        kern = functools.partial(_zrow_kernel, z, layout, factors, sign)
+        kern = functools.partial(_zrow_kernel, z, by, layout, factors, sign)
         oshape = jax.ShapeDtypeStruct((z, y, x), jnp.float32)
         return pl.pallas_call(
-            kern, grid=(y,),
+            kern, grid=(y // by,),
             in_specs=tspec + [dspec, dspec],
             out_specs=(dspec, dspec), out_shape=(oshape, oshape),
             cost_estimate=pl.CostEstimate(
                 flops=8 * z * sum(factors) * x * y,
                 bytes_accessed=z * y * x * 4 * 4, transcendentals=0),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-                dimension_semantics=("parallel",)),
-        )(*flat, re, im)
-
-
-def _f2db_kernel(b, ny, nx, layout, fy, fx, sign, *refs):
-    nt = sum(arity for _, arity in layout)
-    tables = {}
-    pos = 0
-    for k, arity in layout:
-        tables[k] = tuple(refs[pos + j][:] for j in range(arity))
-        pos += arity
-    re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
-    for j in range(b):
-        xr, xi = tile_fft(re_ref[j], im_ref[j], tables, ny, fy,
-                          "highest", True, sign)
-        xr, xi = xr.T, xi.T
-        xr, xi = tile_fft(xr, xi, tables, nx, fx, "highest", True, sign)
-        or_ref[j] = xr.T
-        oi_ref[j] = xi.T
-
-
-@functools.partial(jax.jit, static_argnames=("sign", "b"))
-def f2db(re, im, sign=-1, b=4):
-    """Fused 2D (y, x) FFT with (b, ny, nx) blocks (b z-planes per step)."""
-    with jax.enable_x64(False):
-        L, ny, nx = re.shape
-        fy = tuple(pallas_local.default_factors(ny))
-        fx = tuple(pallas_local.default_factors(nx))
-        tables = needed_tables(ny, sign, factors=fy)
-        tables.update(needed_tables(nx, sign, factors=fx))
-        layout = tuple((k, len(v)) for k, v in tables.items())
-        flat = [jnp.asarray(a) for v in tables.values() for a in v]
-        tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
-                              memory_space=pltpu.VMEM) for a in flat]
-        dspec = pl.BlockSpec((b, ny, nx), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-        kern = functools.partial(_f2db_kernel, b, ny, nx, layout, fy, fx,
-                                 sign)
-        oshape = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
-        return pl.pallas_call(
-            kern, grid=(L // b,),
-            in_specs=tspec + [dspec, dspec],
-            out_specs=(dspec, dspec), out_shape=(oshape, oshape),
-            cost_estimate=pl.CostEstimate(
-                flops=8 * ny * nx * (sum(fy) + sum(fx)) * L,
-                bytes_accessed=L * ny * nx * 4 * 4, transcendentals=0),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("parallel",)),
@@ -152,6 +108,13 @@ def main():
 
     # correctness spot-checks first (cheap shapes would hide layout bugs)
     re, im = devdata((Z, Y, X), seed=1)
+    ref2 = np.fft.fft2(np.asarray(re, np.float64)
+                       + 1j * np.asarray(im, np.float64), axes=(-2, -1))
+    rr, ii = pallas_local.fft2_fused(re, im, -1, block_l=4)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    err = abs(got - ref2).max() / abs(ref2).max()
+    print(f"f2dB4 parity err={err:.2e}", flush=True)
+    assert err < 2e-6
     ref = np.fft.fft(np.asarray(re, np.float64)
                      + 1j * np.asarray(im, np.float64), axis=0)
     rr, ii = zrow(re, im)
@@ -159,13 +122,15 @@ def main():
     err = abs(got - ref).max() / abs(ref).max()
     print(f"zrow parity err={err:.2e}", flush=True)
     assert err < 2e-6
-    ref2 = np.fft.fft2(np.asarray(re, np.float64)
-                       + 1j * np.asarray(im, np.float64), axes=(-2, -1))
-    rr, ii = f2db(re, im, b=4)
-    got = np.asarray(rr) + 1j * np.asarray(ii)
-    err = abs(got - ref2).max() / abs(ref2).max()
-    print(f"f2dB4 parity err={err:.2e}", flush=True)
-    assert err < 2e-6
+
+    # --- pass-1 variants (fused 2D over (y, x)) ---
+    report("f2d prod (1,256,256) blocks",
+           lambda r, i: pallas_local.fft2_fused(r, i, -1, alias_io=True),
+           (re, im), nb)
+    for b in (2, 4, 8):
+        report(f"f2dB{b} ({b},256,256) blocks",
+               lambda r, i, _b=b: pallas_local.fft2_fused(
+                   r, i, -1, alias_io=True, block_l=_b), (re, im), nb)
 
     # --- z-pass variants (axis 0 of (Z, Y*X)) ---
     r2, i2 = devdata((Z, Y * X), seed=2)
@@ -178,17 +143,9 @@ def main():
                                               factors=(8, 8, 4),
                                               alias_io=True),
            (r2, i2), nb)
-    report("zrow strided (Z,1,X) blocks",
+    report("zrow strided (Z,8,X) blocks",
            lambda r, i: zrow(r.reshape(Z, Y, X), i.reshape(Z, Y, X)),
            (r2, i2), nb)
-
-    # --- pass-1 variants (fused 2D over (y, x)) ---
-    report("f2d prod (1,256,256) blocks",
-           lambda r, i: pallas_local.fft2_fused(r, i, -1, alias_io=True),
-           (re, im), nb)
-    for b in (2, 4):
-        report(f"f2dB{b} ({b},256,256) blocks",
-               lambda r, i, _b=b: f2db(r, i, b=_b), (re, im), nb)
 
 
 if __name__ == "__main__":

@@ -112,7 +112,7 @@ def main():
                 subprocess.run(
                     [sys.executable,
                      os.path.join(ROOT, "benchmarks", "acceptance.py"),
-                     "--configs", "2,3,4,6"],
+                     "--configs", "2,2i,3,4,6"],
                     timeout=2400)
                 record({"ts": row["ts"],
                         "event": "quiet acceptance subset (2,3,4,6) recorded"})

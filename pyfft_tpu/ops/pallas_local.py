@@ -1195,8 +1195,8 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
 MAX_FUSED2D_ELEMS = 1 << 18
 
 
-def _fused2d_kernel(ny, nx, layout, postscale, fy, fx, precision, stacked,
-                    sign, *refs):
+def _fused2d_kernel(bl, ny, nx, layout, postscale, fy, fx, precision,
+                    stacked, sign, *refs):
     nt = sum(arity for _, arity in layout)
     tables = {}
     pos = 0
@@ -1204,37 +1204,43 @@ def _fused2d_kernel(ny, nx, layout, postscale, fy, fx, precision, stacked,
         tables[k] = tuple(refs[pos + j][:] for j in range(arity))
         pos += arity
     re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
-    # y-axis FFT: transform already on sublanes, x as lanes — no transpose
-    xr, xi = tile_fft(re_ref[0], im_ref[0], tables, ny, fy, precision,
-                      stacked, sign)
-    # x-axis FFT: one in-VMEM transpose each way
-    xr, xi = xr.T, xi.T
-    xr, xi = tile_fft(xr, xi, tables, nx, fx, precision, stacked, sign)
-    if postscale != 1.0:
-        s = jnp.float32(postscale)
-        xr = xr * s
-        xi = xi * s
-    or_ref[0] = xr.T
-    oi_ref[0] = xi.T
+    # bl (ny, nx) planes per grid step (block_l): larger per-step DMA
+    # amortizes pipeline fill on small tiles — probe_3dz's f2dB question
+    for j in range(bl):
+        # y-axis FFT: transform already on sublanes, x as lanes — no
+        # transpose
+        xr, xi = tile_fft(re_ref[j], im_ref[j], tables, ny, fy, precision,
+                          stacked, sign)
+        # x-axis FFT: one in-VMEM transpose each way
+        xr, xi = xr.T, xi.T
+        xr, xi = tile_fft(xr, xi, tables, nx, fx, precision, stacked, sign)
+        if postscale != 1.0:
+            s = jnp.float32(postscale)
+            xr = xr * s
+            xi = xi * s
+        or_ref[j] = xr.T
+        oi_ref[j] = xi.T
 
 
 @functools.partial(jax.jit, static_argnames=(
     "ny", "nx", "sign", "postscale", "interpret", "factors_y", "factors_x",
-    "precision", "stacked", "alias_io"))
+    "precision", "stacked", "alias_io", "block_l"))
 def _fft2_fused(re, im, *, ny, nx, sign, postscale, interpret,
                 factors_y=None, factors_x=None, precision=_PRECISION,
-                stacked=True, alias_io=False):
+                stacked=True, alias_io=False, block_l=1):
     with jax.enable_x64(False):   # see _row_call: Mosaic rejects x64 traces
         return _fft2_fused_inner(re, im, ny=ny, nx=nx, sign=sign,
                                  postscale=postscale, interpret=interpret,
                                  factors_y=factors_y, factors_x=factors_x,
                                  precision=precision, stacked=stacked,
-                                 alias_io=alias_io)
+                                 alias_io=alias_io, block_l=block_l)
 
 
 def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
-                      factors_y, factors_x, precision, stacked, alias_io):
+                      factors_y, factors_x, precision, stacked, alias_io,
+                      block_l):
     L = re.shape[0]
+    bl = block_l if block_l > 1 and L % block_l == 0 else 1
     fy = tuple(factors_y or default_factors(ny))
     fx = tuple(factors_x or default_factors(nx))
     tables = needed_tables(ny, sign, factors=fy, stacked=stacked,
@@ -1243,12 +1249,12 @@ def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
                                 precision=precision))
     layout = tuple((k, len(v)) for k, v in tables.items())
     flat = [jnp.asarray(a) for v in tables.values() for a in v]
-    grid = (L,)
+    grid = (L // bl,)
     tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
                           memory_space=pltpu.VMEM) for a in flat]
-    dspec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+    dspec = pl.BlockSpec((bl, ny, nx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    kern = functools.partial(_fused2d_kernel, ny, nx, layout, postscale,
+    kern = functools.partial(_fused2d_kernel, bl, ny, nx, layout, postscale,
                              fy, fx, precision, stacked, sign)
     oshape = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
     nd = len(tspec)
@@ -1289,7 +1295,7 @@ def supported_2d(re, im=None) -> bool:
 def fft2_fused(re, im, sign, *, postscale: float = 1.0,
                interpret: bool | None = None, factors_y=None, factors_x=None,
                precision: str = _PRECISION, stacked: bool = True,
-               alias_io: bool = False):
+               alias_io: bool = False, block_l: int = 1):
     """2D DFT over the last two axes of planar f32 arrays, one HBM pass.
 
     TPU-native fusion of the reference's separate row/column kernel passes
@@ -1310,7 +1316,7 @@ def fft2_fused(re, im, sign, *, postscale: float = 1.0,
                          factors_y=tuple(factors_y) if factors_y else None,
                          factors_x=tuple(factors_x) if factors_x else None,
                          precision=precision, stacked=stacked,
-                         alias_io=alias_io)
+                         alias_io=alias_io, block_l=int(block_l))
     return rr.reshape(shape), ii.reshape(shape)
 
 
