@@ -103,49 +103,73 @@ def zrow(re, im, sign=-1, factors=None, by=8):
 
 def main():
     assert jax.default_backend() in ("tpu", "axon")
+    secs = set((sys.argv[1] if len(sys.argv) > 1 else "f2d,z,e2e")
+               .split(","))
     nb = Z * Y * X * 4 * 4          # one pass moves 4 f32 planes
     import numpy as np
 
     # correctness spot-checks first (cheap shapes would hide layout bugs)
     re, im = devdata((Z, Y, X), seed=1)
-    ref2 = np.fft.fft2(np.asarray(re, np.float64)
-                       + 1j * np.asarray(im, np.float64), axes=(-2, -1))
-    rr, ii = pallas_local.fft2_fused(re, im, -1, block_l=4)
-    got = np.asarray(rr) + 1j * np.asarray(ii)
-    err = abs(got - ref2).max() / abs(ref2).max()
-    print(f"f2dB4 parity err={err:.2e}", flush=True)
-    assert err < 2e-6
-    ref = np.fft.fft(np.asarray(re, np.float64)
-                     + 1j * np.asarray(im, np.float64), axis=0)
-    rr, ii = zrow(re, im)
-    got = np.asarray(rr) + 1j * np.asarray(ii)
-    err = abs(got - ref).max() / abs(ref).max()
-    print(f"zrow parity err={err:.2e}", flush=True)
-    assert err < 2e-6
+    if "f2d" in secs:
+        ref2 = np.fft.fft2(np.asarray(re, np.float64)
+                           + 1j * np.asarray(im, np.float64), axes=(-2, -1))
+        rr, ii = pallas_local.fft2_fused(re, im, -1, block_l=4)
+        got = np.asarray(rr) + 1j * np.asarray(ii)
+        err = abs(got - ref2).max() / abs(ref2).max()
+        print(f"f2dB4 parity err={err:.2e}", flush=True)
+        assert err < 2e-6
+    if "z" in secs:
+        ref = np.fft.fft(np.asarray(re, np.float64)
+                         + 1j * np.asarray(im, np.float64), axis=0)
+        rr, ii = zrow(re, im)
+        got = np.asarray(rr) + 1j * np.asarray(ii)
+        err = abs(got - ref).max() / abs(ref).max()
+        print(f"zrow parity err={err:.2e}", flush=True)
+        assert err < 2e-6
 
     # --- pass-1 variants (fused 2D over (y, x)) ---
-    report("f2d prod (1,256,256) blocks",
-           lambda r, i: pallas_local.fft2_fused(r, i, -1, alias_io=True),
-           (re, im), nb)
-    for b in (2, 4, 8):
-        report(f"f2dB{b} ({b},256,256) blocks",
-               lambda r, i, _b=b: pallas_local.fft2_fused(
-                   r, i, -1, alias_io=True, block_l=_b), (re, im), nb)
+    if "f2d" in secs:
+        report("f2d prod (1,256,256) blocks",
+               lambda r, i: pallas_local.fft2_fused(r, i, -1, alias_io=True),
+               (re, im), nb)
+        for b in (2, 4, 8):
+            report(f"f2dB{b} ({b},256,256) blocks",
+                   lambda r, i, _b=b: pallas_local.fft2_fused(
+                       r, i, -1, alias_io=True, block_l=_b), (re, im), nb)
 
+    if "z" not in secs and "e2e" not in secs:
+        return
     # --- z-pass variants (axis 0 of (Z, Y*X)) ---
     r2, i2 = devdata((Z, Y * X), seed=2)
-    report("zcol prod (lanes=256)",
-           lambda r, i: pallas_local.fft_axis(r, i, -1, axis=0,
-                                              alias_io=True),
-           (r2, i2), nb)
-    report("zvpu pure-VPU (8,8,4)",
-           lambda r, i: pallas_local.fft_axis(r, i, -1, axis=0,
-                                              factors=(8, 8, 4),
-                                              alias_io=True),
-           (r2, i2), nb)
-    report("zrow strided (Z,8,X) blocks",
-           lambda r, i: zrow(r.reshape(Z, Y, X), i.reshape(Z, Y, X)),
-           (r2, i2), nb)
+    if "z" not in secs:
+        r2 = i2 = None
+    if "z" in secs:
+        report("zcol prod (lanes=256)",
+               lambda r, i: pallas_local.fft_axis(r, i, -1, axis=0,
+                                                  alias_io=True),
+               (r2, i2), nb)
+        report("zvpu pure-VPU (8,8,4)",
+               lambda r, i: pallas_local.fft_axis(r, i, -1, axis=0,
+                                                  factors=(8, 8, 4),
+                                                  alias_io=True),
+               (r2, i2), nb)
+        report("zrow strided (Z,8,X) blocks",
+               lambda r, i: tuple(
+                   p.reshape(Z, Y * X) for p in
+                   zrow(r.reshape(Z, Y, X), i.reshape(Z, Y, X))),
+               (r2, i2), nb)
+
+    if "e2e" in secs:
+        # end-to-end glue check: Plan 256^3 vs the sum of its two kernel
+        # passes (scale twin keeps chained magnitudes stationary, as
+        # acceptance does)
+        from pyfft_tpu.plan import Plan
+        plan = Plan((Z, Y, X), donate=True,
+                    scale=1.0 / float(np.sqrt(Z * Y * X)))
+        fn = plan._get_callable((1,), False, "planar")
+        re3, im3 = (p.reshape(1, Z, Y, X) for p in (re, im))
+        report("Plan 256^3 end-to-end (donate)",
+               lambda r, i: fn(r, i), (re3, im3), 2 * nb)
 
 
 if __name__ == "__main__":
