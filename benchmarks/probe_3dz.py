@@ -103,7 +103,7 @@ def zrow(re, im, sign=-1, factors=None, by=8):
 
 def main():
     assert jax.default_backend() in ("tpu", "axon")
-    secs = set((sys.argv[1] if len(sys.argv) > 1 else "f2d,z,e2e")
+    secs = set((sys.argv[1] if len(sys.argv) > 1 else "f2d,z,e2e,comp")
                .split(","))
     nb = Z * Y * X * 4 * 4          # one pass moves 4 f32 planes
     import numpy as np
@@ -170,6 +170,37 @@ def main():
         re3, im3 = (p.reshape(1, Z, Y, X) for p in (re, im))
         report("Plan 256^3 end-to-end (donate)",
                lambda r, i: fn(r, i), (re3, im3), 2 * nb)
+
+    if "comp" in secs:
+        # manual two-pass compositions: isolate whether the e2e glue
+        # (2.318 ms vs the 1.24 ms kernel sum, measured QUIET 14:56Z)
+        # lives in the Plan wrapper or in the XLA composition of two
+        # aliased pallas calls.  postscale 2^-12 keeps chains stationary.
+        def comp(alias1, alias2):
+            def f(r, i):
+                rr, ii = pallas_local.fft2_fused(
+                    r, i, -1, postscale=2.0 ** -12, alias_io=alias1)
+                return pallas_local.fft_axis(rr, ii, -1, axis=0,
+                                             alias_io=alias2)
+            return f
+        report("comp f2d+zcol alias/alias", comp(True, True),
+               (re, im), 2 * nb)
+        report("comp f2d+zcol noalias/alias", comp(False, True),
+               (re, im), 2 * nb)
+        report("comp f2d+zcol noalias/noalias", comp(False, False),
+               (re, im), 2 * nb)
+        # host-chained cross-check: if the scan-chain 2.3 ms is a scan
+        # CARRY-COPY artifact (XLA double-buffering the 64 MB planes per
+        # iteration), host-dispatch differencing of the jitted body shows
+        # the true per-call time instead (congestion-prone: read with the
+        # copy label)
+        from pyfft_tpu.utils.profiling import time_chained
+        cfn = jax.jit(comp(True, True))
+        dt = min(time_chained(cfn, (re, im)) for _ in range(3))
+        load = copy_bandwidth_gbs(trials=2)
+        print(f"{'comp alias/alias HOST-chained':44s} {dt*1e3:8.3f} ms  "
+              f"io-eff {2*nb/HBM_BW/dt:6.1%}  copy {load:5.0f} GB/s",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -71,25 +71,23 @@ def _mxu_stage_variant(x, f, axis, wch, sign, keep, cheapacc):
             if s <= keep:
                 pairs.setdefault(s, []).append((wi, ci))
 
+    # least-significant first (matches production): the f32 trim needs no
+    # extra live accumulator plane (the ascending form OOMed scoped VMEM
+    # at 113.5M/100M on the n=2048 chain)
     acc_h = acc_l = None
-    f32_acc = None
-    for s in sorted(pairs):
+    for s in sorted(pairs, reverse=True):
         g = None
         for wi, ci in pairs[s]:
             y = jax.lax.dot_general(wch[wi], channels[ci][0], dims,
                                     preferred_element_type=jnp.int32)
             g = y if g is None else g + y
         val = g.astype(jnp.float32) * P._exp2_f32(m - jnp.int32(s))
-        if cheapacc and s >= 35:
-            f32_acc = val if f32_acc is None else f32_acc + val
-            continue
         if acc_h is None:
             acc_h, acc_l = val, jnp.zeros_like(val)
+        elif cheapacc and s >= 35:
+            acc_h = acc_h + val
         else:
             acc_h, acc_l = df_add(acc_h, acc_l, val, jnp.zeros_like(val))
-    if f32_acc is not None:
-        acc_h, acc_l = df_add(acc_h, acc_l, f32_acc,
-                              jnp.zeros_like(f32_acc))
     return acc_h[:f], acc_l[:f], acc_h[f:], acc_l[f:]
 
 
@@ -252,6 +250,9 @@ def main():
     t = {}
     t["prod"] = report("prod fft_axis_df64 (8,4,64)",
                        lambda *p: P.fft_axis_df64(p, -1, axis=-1))
+    t["fold2"] = report("prod fold2 (two-level fold)",
+                        lambda *p: P.fft_axis_df64(p, -1, axis=-1,
+                                                   fold2=True))
     for v in ("full", "notw", "consttw", "nomxu", "mxu1", "fold32",
               "cheapacc"):
         t[v] = report(f"variant {v}",
@@ -269,6 +270,7 @@ def main():
     print(f"  accum trim win       = {1e3*(t['full']-t['cheapacc']):7.3f}")
     print(f"  fold32 tail delta    = {1e3*(t['fold32']-t['full']):7.3f}")
     print(f"butterfly prefix P     = {1e3*t['nomxu']:7.3f}")
+    print(f"fold2 win vs prod      = {1e3*(t['prod']-t['fold2']):7.3f}")
 
 
 if __name__ == "__main__":

@@ -33,21 +33,40 @@ def cplx(shape, dtype=np.complex128):
             + 1j * rng.standard_normal(shape)).astype(dtype)
 
 
-xd = cplx((8, 2048))
-check("fft c128 local n=2048", fft(xd), np.fft.fft(xd, axis=-1), 1e-11)
-xdl = cplx((2, 1 << 16))
-check("fft c128 four-step n=2^16", fft(xdl), np.fft.fft(xdl, axis=-1), 1e-11)
-check("ifft(fft) c128 roundtrip", ifft(fft(xd)), xd, 1e-11)
+def guarded(name, fn, ref, tol):
+    """One check = one compile of a multi-kernel df64 program; the 512^2
+    2D program reproducibly SIGKILLs the shared compile helper (r4c,
+    twice ~10 min in — helper OOM class), so each check must not take
+    the rest of the drive down with it."""
+    try:
+        check(name, fn(), ref, tol)
+    except Exception as e:                      # noqa: BLE001
+        print(f"FAIL {name:44s} {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
+        FAILURES.append(name)
 
-# 2D/3D: the df64 column-pass composition on real hardware
+
+xd = cplx((8, 2048))
+guarded("fft c128 local n=2048", lambda: fft(xd),
+        np.fft.fft(xd, axis=-1), 1e-11)
+xdl = cplx((2, 1 << 16))
+guarded("fft c128 four-step n=2^16", lambda: fft(xdl),
+        np.fft.fft(xdl, axis=-1), 1e-11)
+guarded("ifft(fft) c128 roundtrip", lambda: ifft(fft(xd)), xd, 1e-11)
+
+# 2D/3D: the df64 column-pass composition on real hardware (smallest
+# shapes first: each is a fresh multi-kernel program compile)
 from pyfft_tpu import fftn
 
-x2 = cplx((2, 512, 512))
-check("fftn c128 2D 512^2", fftn(x2, ndim=2),
-      np.fft.fftn(x2, axes=(-2, -1)), 1e-11)
+x2s = cplx((2, 256, 256))
+guarded("fftn c128 2D 256^2", lambda: fftn(x2s, ndim=2),
+        np.fft.fftn(x2s, axes=(-2, -1)), 1e-11)
 x3 = cplx((128, 128, 128))
-check("fftn c128 3D 128^3", fftn(x3),
-      np.fft.fftn(x3), 1e-11)
+guarded("fftn c128 3D 128^3", lambda: fftn(x3),
+        np.fft.fftn(x3), 1e-11)
+x2 = cplx((2, 512, 512))
+guarded("fftn c128 2D 512^2", lambda: fftn(x2, ndim=2),
+        np.fft.fftn(x2, axes=(-2, -1)), 1e-11)
 
 print("FAILURES:", FAILURES if FAILURES else "none")
 raise SystemExit(1 if FAILURES else 0)
