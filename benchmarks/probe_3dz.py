@@ -137,7 +137,7 @@ def main():
                    lambda r, i, _b=b: pallas_local.fft2_fused(
                        r, i, -1, alias_io=True, block_l=_b), (re, im), nb)
 
-    if "z" not in secs and "e2e" not in secs:
+    if not secs & {"z", "e2e", "comp"}:
         return
     # --- z-pass variants (axis 0 of (Z, Y*X)) ---
     r2, i2 = devdata((Z, Y * X), seed=2)

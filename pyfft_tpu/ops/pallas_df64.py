@@ -91,6 +91,9 @@ _HI_SHIFTS = tuple(_B * (i + 1) for i in range(6))  # hi bits 1..42
 # lo channels at shifts 31/38/45: a 4th (shift 52) could never pair under
 _LO_SHIFTS = tuple(24 + _B * (i + 1) for i in range(3))  # _KEEP (52+7 > 53)
 _KEEP = 53                                          # max combined shift
+# Shift groups at/below this significance accumulate in plain f32 (one
+# df_add folds the sum in at the end) — see the accumulation loop comment.
+_F32_ACC_MIN_S = 35
 
 
 def mxu_factors_df64(n: int) -> tuple[int, ...]:
@@ -217,11 +220,21 @@ def _mxu_stage_df64(x, f, axis, wch, sign):
             if s <= _KEEP:
                 pairs.setdefault(s, []).append((wi, ci))
 
-    # iterate shift groups most-significant first so only ONE int32 partial
-    # is live at a time (VMEM); per-group int32 sums stay < 2^22 (proto
-    # bound 2.5e5), so the f32 conversion is exact
+    # Iterate shift groups LEAST-significant first: groups at combined
+    # shift >= _F32_ACC_MIN_S are summed in PLAIN f32 (their magnitudes
+    # are <= 2^(m-s+18), so the f32 rounding contributes ~2^(m-41) —
+    # below the df64 unit roundoff of the 2^(m+6)-scale stage output;
+    # measured 6.0e-13 vs 5.9e-13 full-df64 end-to-end, probe_df64parts
+    # cheapacc), then the df64 accumulation runs smallest-to-largest.
+    # This replaces ~5 df_add rounds (12 VPU flops each) with plain adds
+    # while keeping peak liveness at 3 planes (acc_h, acc_l, val) — the
+    # ascending-order form kept a 4th live plane and rolled the n=2048
+    # chain over the 100M scoped-VMEM limit (113.5M, r4c probe OOM).
+    # Only ONE int32 partial is live at a time either way; per-group
+    # int32 sums stay < 2^22 (proto bound 2.5e5), so the f32 conversion
+    # is exact.
     acc_h = acc_l = None
-    for s in sorted(pairs):
+    for s in sorted(pairs, reverse=True):
         g = None
         for wi, ci in pairs[s]:
             y = jax.lax.dot_general(wch[wi], channels[ci][0], dims,
@@ -230,6 +243,8 @@ def _mxu_stage_df64(x, f, axis, wch, sign):
         val = g.astype(jnp.float32) * _exp2_f32(m - jnp.int32(s))
         if acc_h is None:
             acc_h, acc_l = val, jnp.zeros_like(val)
+        elif s >= _F32_ACC_MIN_S:
+            acc_h = acc_h + val         # plain f32: see comment above
         else:
             acc_h, acc_l = df_add(acc_h, acc_l, val, jnp.zeros_like(val))
     return acc_h[:f], acc_l[:f], acc_h[f:], acc_l[f:]
@@ -240,14 +255,58 @@ def _fold_applies_df64(factors) -> bool:
             and factors[-2] <= 8)
 
 
-def needed_tables_df64(n: int, sign: int, factors=None) -> dict:
+# Two-level fold (r4, VERDICT item 2 "fold a second twiddle round into the
+# int8 tail"): for a 3-factor chain (f0, f1, T) the stage-0 Cooley-Tukey
+# twiddle w_n^(k0*(j1*T+j2)) splits exactly into
+#   w_{f0*f1}^(k0*j1)   — f0*f1 CONSTANTS, applied per (k0, j1) slice
+#                         between the butterflies (trivial slices skipped),
+#   w_n^(k0*j2)         — commutes past stage 1 (which acts on j1 only) and
+#                         folds into the tail tables together with stage 1's
+#                         own twiddle: w_n^(k0*j2) * w_{f1*T}^(k1*j2)
+#                         = w_n^((k0 + f0*k1)*j2).
+# After stage 1 the digit-prepend L index IS m = k0 + f0*k1, so the tail
+# needs f0*f1 per-digit folded tables indexed by the L slice directly —
+# int8_dft_table_folded(T, f0*f1, sign) already builds exactly these.
+# Net: the LAST remaining full df64 twiddle round (~120 VPU flops/element)
+# collapses to constant multiplies on ~2/3 of the elements.
+# HAZARD (r4d 16:44Z): the unrolled f0*f1=32-group tail emits a 3.7 MB
+# MLIR program that SIGKILLs the shared compile helper (OOM class, like
+# the 512^2 df64 2D program) — interpret-mode parity is green
+# (tests/test_df64.py::test_df64_fold2_chains) but the kernel cannot
+# compile on this environment's service.  A batched-dot_general tail
+# (groups as a dot_general batch dim) would shrink the program ~8x if
+# Mosaic accepts it; until then this stays opt-in and OFF.
+DF64_FOLD2 = False
+
+
+def _fold2_applies_df64(factors, fold2=None) -> bool:
+    if fold2 is None:
+        fold2 = DF64_FOLD2
+    if not (fold2 and len(factors) == 3
+            and factors[0] in (2, 4, 8) and factors[1] in (2, 4, 8)
+            and factors[-1] >= MXU_MIN_F):
+        return False
+    # table VMEM: f0*f1 per-digit channel sets of the stacked (2T, 2T)
+    # int8 matrix — cap at 4 MiB (the (8,4,64) chain costs 3 MiB)
+    q, t = factors[0] * factors[1], factors[-1]
+    return q * len(_W_SHIFTS) * (2 * t) ** 2 <= (4 << 20)
+
+
+def needed_tables_df64(n: int, sign: int, factors=None,
+                       fold2=None) -> dict:
     """{("tw", i, factors): (trh, trl, tih, til)} inter-stage twiddles,
     plus ("wint8", f, sign): int8 DFT channels for MXU-stage factors —
     or ("wi8fold", factors): f_prev per-digit channel tuples (flattened)
-    when the last twiddle round folds into the MXU tail."""
+    when the last twiddle round folds into the MXU tail, or
+    ("wi8fold2", factors): f0*f1 per-digit tuples when BOTH twiddle
+    rounds fold (two-level fold — see _fold2_applies_df64)."""
     factors = tuple(factors or default_factors_df64(n))
     assert math.prod(factors) == n
     m = len(factors)
+    if _fold2_applies_df64(factors, fold2):
+        groups = int8_dft_table_folded(factors[-1],
+                                       factors[0] * factors[1], sign)
+        return {("wi8fold2", factors): tuple(c for g in groups for c in g)}
     fold = _fold_applies_df64(factors)
     tables: dict = {}
     for i, f in enumerate(factors):
@@ -375,6 +434,50 @@ def _butterfly_df64(f, planes, sign):
     return tuple(jnp.stack([y[k] for y in ys], axis=0) for k in range(4))
 
 
+def _const_round_df64(y, f0, f1, sign):
+    """The two-level fold's residual: multiply slice (k0, j1) of a
+    (f0, 1, f1*T, lanes) quad by the CONSTANT w_{f0*f1}^(k0*j1).
+
+    Trivial slices are free (k0=0 or j1=0: identity; m=q/2: negate;
+    m=q/4, 3q/4: exact +-i plane swaps); the rest cost one df64
+    constant cmul on a (T, lanes) slice — ~2/3 of the elements for the
+    (8, 4, 64) chain, vs a full twiddle round on ALL elements.
+    Slices/stacks touch only the two leading axes (rank-4 discipline)."""
+    q = f0 * f1
+    f1T = y[0].shape[2]
+    lanes = y[0].shape[-1]
+    y4 = tuple(p.reshape(f0, f1, f1T // f1, lanes) for p in y)
+    consts = {}
+    for mm in range(q):
+        ang = sign * 2.0 * math.pi * mm / q
+        ch, cl = df64_const(np.cos(np.float64(ang)))
+        sh, sl = df64_const(np.sin(np.float64(ang)))
+        consts[mm] = (float(ch), float(cl), float(sh), float(sl))
+    cols = []
+    for j1 in range(f1):
+        rows = []
+        for k0 in range(f0):
+            s = tuple(p[k0, j1] for p in y4)            # (T, lanes)
+            mm = (k0 * j1) % q
+            if mm == 0:
+                pass
+            elif 2 * mm == q:
+                s = tuple(-p for p in s)
+            elif 4 * mm == q:
+                s = _mul_pi(s, sign)
+            elif 4 * mm == 3 * q:
+                s = _mul_pi(s, -sign)
+            else:
+                ch, cl, sh, sl = (_vconst(v) for v in consts[mm])
+                s = df_cmul(s[0], s[1], s[2], s[3], ch, cl, sh, sl)
+            rows.append(s)
+        cols.append(tuple(jnp.stack([r[k] for r in rows], axis=0)
+                          for k in range(4)))           # (f0, T, lanes)
+    out = tuple(jnp.stack([c[k] for c in cols], axis=1)
+                for k in range(4))                      # (f0, f1, T, lanes)
+    return tuple(p.reshape(f0, 1, f1T, lanes) for p in out)
+
+
 def tile_fft_df64(planes, tables: dict, n: int, factors=None, sign=-1):
     """Length-n DFT over axis 0 of (n, lanes) df64 planar quad.
 
@@ -395,29 +498,36 @@ def tile_fft_df64(planes, tables: dict, n: int, factors=None, sign=-1):
     factors = tuple(factors or default_factors_df64(n))
     m = len(factors)
     fold = ("wi8fold", factors) in tables
+    fold2 = ("wi8fold2", factors) in tables
     L, R = 1, n
     x = tuple(p.reshape(1, n, lanes) for p in planes)   # (L, f*R, lanes)
     for i, f in enumerate(factors):
         R //= f
-        if fold and i == m - 1:
-            flat = tables[("wi8fold", factors)]
+        if (fold or fold2) and i == m - 1:
+            key = ("wi8fold2", factors) if fold2 else ("wi8fold", factors)
+            flat = tables[key]
             nch = len(_W_SHIFTS)
-            f_prev = factors[m - 2]
-            x4 = tuple(p.reshape(f_prev, L // f_prev, f, lanes) for p in x)
+            groups = factors[0] * factors[1] if fold2 else factors[m - 2]
+            x4 = tuple(p.reshape(groups, L // groups, f, lanes) for p in x)
             outs = []
-            for j in range(f_prev):
-                xj = tuple(p[j] for p in x4)            # (L/f_prev, f, lanes)
+            for j in range(groups):
+                xj = tuple(p[j] for p in x4)            # (L/groups, f, lanes)
                 wch = flat[j * nch:(j + 1) * nch]
                 outs.append(_mxu_stage_df64(xj, f, 1, wch, sign))
             x = tuple(jnp.stack([o[k] for o in outs], axis=1)
-                      for k in range(4))         # (f, f_prev, L/f_prev, ln)
+                      for k in range(4))         # (f, groups, L/groups, ln)
             break
         x4 = tuple(p.reshape(L, f, R, lanes) for p in x)
         if f >= MXU_MIN_F:
             y = _mxu_stage_df64(x4, f, 1, tables[("wint8", f, sign)], sign)
         else:
             y = _butterfly_df64(f, x4, sign)            # (f, L, R, lanes)
-        if i < m - 1 and not (fold and i == m - 2):
+        if fold2:
+            # both twiddle rounds live in the tail tables; only the
+            # residual w_{f0*f1}^(k0*j1) constants remain after stage 0
+            if i == 0:
+                y = _const_round_df64(y, factors[0], factors[1], sign)
+        elif i < m - 1 and not (fold and i == m - 2):
             trh, trl, tih, til = tables[("tw", i, factors)]   # (f, 1, R, 1)
             y = df_cmul(y[0], y[1], y[2], y[3], trh, trl, tih, til)
         L *= f
@@ -516,12 +626,12 @@ def _vmem_params():
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "sign", "postscale", "interpret", "factors", "lanes"))
+    "n", "sign", "postscale", "interpret", "factors", "lanes", "fold2"))
 def _fft_rows_df64(rh, rl, ih, il, *, n, sign, postscale, interpret,
-                   factors=None, lanes=LANES):
+                   factors=None, lanes=LANES, fold2=None):
     with jax.enable_x64(False):   # Mosaic rejects x64-typed traces
         factors = tuple(factors or default_factors_df64(n))
-        tables = needed_tables_df64(n, sign, factors)
+        tables = needed_tables_df64(n, sign, factors, fold2)
         layout = tuple((k, len(v)) for k, v in tables.items())
         flat = [jnp.asarray(a) for v in tables.values() for a in v]
         rows = rh.shape[0]
@@ -571,14 +681,15 @@ def _phases(rows, cols, tw_n, sign, col_stride: int = 1):
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "sign", "postscale", "interpret", "factors", "lanes", "tw_n",
-    "tw_mode", "tw_period", "swap_store", "swap_mid"))
+    "tw_mode", "tw_period", "swap_store", "swap_mid", "fold2"))
 def _fft_cols_df64(rh, rl, ih, il, *, n, sign, postscale, interpret,
                    factors=None, lanes=LANES, tw_n: int = 0,
                    tw_mode: str = "full", tw_period: int = 0,
-                   swap_store: bool = False, swap_mid: int = 0):
+                   swap_store: bool = False, swap_mid: int = 0,
+                   fold2=None):
     with jax.enable_x64(False):
         factors = tuple(factors or default_factors_df64(n))
-        tables = needed_tables_df64(n, sign, factors)
+        tables = needed_tables_df64(n, sign, factors, fold2)
         layout = tuple((k, len(v)) for k, v in tables.items())
         flat = [jnp.asarray(a) for v in tables.values() for a in v]
         L, _, T = rh.shape
@@ -699,7 +810,7 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
                   interpret: bool | None = None, factors=None,
                   tw_n: int = 0, tw_mode: str = "full", tw_period: int = 0,
                   swap_store: bool = False, swap_mid: int = 0,
-                  fast_math: bool = True):
+                  fast_math: bool = True, fold2: bool | None = None):
     """DFT along ``axis`` of a complex-df64 planar quad (rh, rl, ih, il).
 
     ``fast_math=False`` selects the all-butterfly chain (exact adds, df64
@@ -722,7 +833,7 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
     factors = tuple(factors or default_factors_df64(n))
     has_mxu = any(f >= MXU_MIN_F for f in factors)
     kw = dict(n=n, sign=sign, postscale=float(postscale),
-              interpret=bool(interpret), factors=factors)
+              interpret=bool(interpret), factors=factors, fold2=fold2)
     shape = rh.shape
     if axis == rh.ndim - 1:
         assert not tw_n and not swap_store and not swap_mid

@@ -385,6 +385,9 @@ def _butterfly(f, xr, xi, axis, sign):
 # hazard, so PACKED_INTERLEAVED stays False and the TPU path uses the
 # planar-split fused kernel below.  Flip on a machine with a healthy
 # local compiler to A/B the two.
+# RE-ATTEMPTED (r4, 2026-08-19 17:03Z, idle service window per VERDICT
+# item 4): benchmarks/probe_packed.py hit its 900 s bound with the
+# compile still unfinished — hazard stands.
 
 PACKED_INTERLEAVED = False
 

@@ -223,6 +223,30 @@ def test_df64_radix8_fold_chains(factors):
     assert np.abs(rt - x).max() / np.abs(x).max() < 1e-11
 
 
+@pytest.mark.parametrize("factors", [(8, 4, 64), (4, 8, 64), (8, 8, 32),
+                                     (2, 4, 64)])
+def test_df64_fold2_chains(factors):
+    """Two-level fold (r4): BOTH twiddle rounds folded into the int8
+    tail tables; only the w_{f0*f1}^(k0*j1) constants remain between the
+    butterflies.  Parity both signs + the fold2 tables engaging."""
+    import math
+    n = math.prod(factors)
+    x = _rand((8, n), 41) + 1j * _rand((8, n), 42)
+    tabs = pallas_df64.needed_tables_df64(n, -1, factors, fold2=True)
+    assert ("wi8fold2", tuple(factors)) in tabs
+    assert not any(k[0] == "tw" for k in tabs)
+    out = pallas_df64.fft_axis_df64(_quad(x), -1, axis=-1, factors=factors,
+                                    interpret=True, fold2=True)
+    got = _unquad(out)
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+    back = pallas_df64.fft_axis_df64(out, +1, axis=-1, factors=factors,
+                                     postscale=1.0 / n, interpret=True,
+                                     fold2=True)
+    rt = _unquad(back)
+    assert np.abs(rt - x).max() / np.abs(x).max() < 1e-11
+
+
 def test_df64_default_chain_uses_radix8():
     assert pallas_df64.mxu_factors_df64(2048) == (8, 4, 64)
     assert pallas_df64.mxu_factors_df64(1024) == (8, 2, 64)
