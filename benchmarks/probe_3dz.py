@@ -176,11 +176,16 @@ def main():
         # (2.318 ms vs the 1.24 ms kernel sum, measured QUIET 14:56Z)
         # lives in the Plan wrapper or in the XLA composition of two
         # aliased pallas calls.  postscale 2^-12 keeps chains stationary.
+        # postscale rides on the z-pass (as Plan's last-pass norm does),
+        # so BOTH kernels are the exact cached programs of the f2d/zcol
+        # rows + the e2e row — the r4e form put 2^-12 on the fused2d
+        # kernel, a fresh hash the degraded compile service never
+        # finished (1200 s, 18:16Z)
         def comp(alias1, alias2):
             def f(r, i):
-                rr, ii = pallas_local.fft2_fused(
-                    r, i, -1, postscale=2.0 ** -12, alias_io=alias1)
+                rr, ii = pallas_local.fft2_fused(r, i, -1, alias_io=alias1)
                 return pallas_local.fft_axis(rr, ii, -1, axis=0,
+                                             postscale=2.0 ** -12,
                                              alias_io=alias2)
             return f
         report("comp f2d+zcol alias/alias", comp(True, True),

@@ -123,8 +123,10 @@ def tile_variant(planes, tables, n, factors, sign, variant):
                     p.reshape(L, f, lanes), 1, 0) for p in x)
                 break
             groups = 32 if variant == "fold32" else factors[m - 2]
-            keep = 14 if variant == "mxu1" else P._KEEP
-            cheap = variant == "cheapacc"
+            keep = (14 if variant == "mxu1"
+                    else int(variant[4:]) if variant.startswith("keep")
+                    else P._KEEP)
+            cheap = variant in ("cheapacc",) or variant.startswith("keep")
             x4 = tuple(p.reshape(groups, L // groups, f, lanes) for p in x)
             outs = []
             for j in range(groups):
@@ -239,13 +241,22 @@ def main():
         (np.asarray(qs[0], np.float64) + np.asarray(qs[1], np.float64))
         + 1j * (np.asarray(qs[2], np.float64)
                 + np.asarray(qs[3], np.float64)), axis=-1)
-    for v in ("full", "cheapacc"):
+    # keepS variants truncate the pair set at combined shift S — parity-
+    # valid as long as the truncation error stays inside the 1e-11 gate
+    # (r4e attribution: matmuls+accum = 1.87 of 2.52 ms, so fewer pairs
+    # is the direct attack on the dominant term; KEEP=53 keeps 27 pairs,
+    # 45 -> 18, 40 -> 11)
+    for v in ("full", "cheapacc", "keep45", "keep40"):
         out = row_variant(*qs, variant=v)
         got = (np.asarray(out[0], np.float64) + np.asarray(out[1])
                + 1j * (np.asarray(out[2], np.float64) + np.asarray(out[3])))
         err = np.abs(got - ref).max() / np.abs(ref).max()
-        print(f"{v} parity err={err:.2e}", flush=True)
-        assert err < 1e-11, (v, err)
+        ok = err < 1e-11
+        print(f"{v} parity err={err:.2e}"
+              + ("" if ok else "  [over gate — cost row only]"), flush=True)
+        if not v.startswith("keep"):
+            assert ok, (v, err)     # keeps are timed regardless: the cost
+                                    # curve matters even past the gate
 
     # fold2/fold32 are OFF the default list: their 32 unrolled tail groups
     # produce a 3.7 MB MLIR program that SIGKILLs the shared compile helper
@@ -253,7 +264,7 @@ def main():
     # Select explicitly (argv) only if the helper ever gains headroom.
     sel = (sys.argv[1].split(",") if len(sys.argv) > 1 else
            ["prod", "full", "notw", "consttw", "nomxu", "mxu1",
-            "cheapacc", "bfly"])
+            "cheapacc", "keep45", "keep40", "bfly"])
     t = {}
     if "prod" in sel:
         t["prod"] = report("prod fft_axis_df64 (8,4,64)",
@@ -263,7 +274,7 @@ def main():
                             lambda *p: P.fft_axis_df64(p, -1, axis=-1,
                                                        fold2=True))
     for v in ("full", "notw", "consttw", "nomxu", "mxu1", "fold32",
-              "cheapacc"):
+              "cheapacc", "keep45", "keep40"):
         if v in sel:
             t[v] = report(f"variant {v}",
                           lambda *p, _v=v: row_variant(*p, variant=_v))
@@ -284,6 +295,8 @@ def main():
     row("  extraction X ~=     ", "mxu1", "nomxu")
     row("  matmuls+accum M+A   ", "full", "mxu1")
     row("  accum trim win      ", "full", "cheapacc")
+    row("  keep45 win          ", "cheapacc", "keep45")
+    row("  keep40 win          ", "cheapacc", "keep40")
     row("  fold32 tail delta   ", "fold32", "full")
     row("butterfly prefix P    ", "nomxu")
     row("fold2 win vs prod     ", "prod", "fold2")

@@ -233,13 +233,26 @@ def _mxu_stage_df64(x, f, axis, wch, sign):
     # Only ONE int32 partial is live at a time either way; per-group
     # int32 sums stay < 2^22 (proto bound 2.5e5), so the f32 conversion
     # is exact.
+    # concat-K (r4e): a shift group's k pair-products share one exact
+    # int32 sum, so fuse them into ONE matmul with contraction K = k*2T
+    # (weights concatenated on their lane axis, data channels on the
+    # contraction axis) — bit-identical to the per-pair dots + int32
+    # adds it replaces (group sums <= 6*2.5e5 << 2^31), but 27 MXU
+    # dispatches become 9 with 2-6x the K per dispatch (the r4e
+    # attribution put matmuls+accum at 1.87 of 2.52 ms with the MXU far
+    # under peak — classic small-K pipeline-fill economics).
     acc_h = acc_l = None
     for s in sorted(pairs, reverse=True):
-        g = None
-        for wi, ci in pairs[s]:
-            y = jax.lax.dot_general(wch[wi], channels[ci][0], dims,
-                                    preferred_element_type=jnp.int32)
-            g = y if g is None else g + y
+        plist = pairs[s]
+        if len(plist) == 1:
+            wi, ci = plist[0]
+            wcat, xcat = wch[wi], channels[ci][0]
+        else:
+            wcat = jnp.concatenate([wch[wi] for wi, _ in plist], axis=1)
+            xcat = jnp.concatenate([channels[ci][0] for _, ci in plist],
+                                   axis=axis)
+        g = jax.lax.dot_general(wcat, xcat, dims,
+                                preferred_element_type=jnp.int32)
         val = g.astype(jnp.float32) * _exp2_f32(m - jnp.int32(s))
         if acc_h is None:
             acc_h, acc_l = val, jnp.zeros_like(val)
