@@ -25,6 +25,7 @@ Run on real TPU in a quiet-ish window; every row is load-labeled.
 import functools
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
@@ -205,6 +206,35 @@ def main():
         load = copy_bandwidth_gbs(trials=2)
         print(f"{'comp alias/alias HOST-chained':44s} {dt*1e3:8.3f} ms  "
               f"io-eff {2*nb/HBM_BW/dt:6.1%}  copy {load:5.0f} GB/s",
+              flush=True)
+        # r4f follow-ups (measured: the one-jit composition costs 2.0-2.3
+        # ms vs the 1.24 ms solo-kernel sum, aliasing irrelevant).  Both
+        # rows reuse cached kernels only.
+        # (a) pass order: z first (postscale riding on it), then fused2d
+        def zfirst(r, i):
+            rr, ii = pallas_local.fft_axis(r, i, -1, axis=0,
+                                           postscale=2.0 ** -12,
+                                           alias_io=True)
+            return pallas_local.fft2_fused(rr, ii, -1, alias_io=True)
+        report("comp zcol+f2d (z first)", zfirst, (re, im), 2 * nb)
+        # (b) split dispatch: each pass its OWN jit program (device runs
+        # them back-to-back from the dispatch queue; no shared-program
+        # XLA composition) — host-chained differencing, k=8 vs 24
+        def split_chain(k):
+            t0 = time.perf_counter()
+            r, i = re, im
+            for _ in range(k):
+                r, i = pallas_local.fft2_fused(r, i, -1)
+                r, i = pallas_local.fft_axis(r, i, -1, axis=0,
+                                             postscale=2.0 ** -12)
+            float(jnp.sum(r.ravel()[:1]))
+            return time.perf_counter() - t0
+        split_chain(2)
+        dts = [(split_chain(24) - split_chain(8)) / 16 for _ in range(3)]
+        load = copy_bandwidth_gbs(trials=2)
+        print(f"{'comp split-dispatch (2 programs/iter)':44s} "
+              f"{min(dts)*1e3:8.3f} ms  io-eff "
+              f"{2*nb/HBM_BW/min(dts):6.1%}  copy {load:5.0f} GB/s",
               flush=True)
 
 
