@@ -241,12 +241,15 @@ def main():
         (np.asarray(qs[0], np.float64) + np.asarray(qs[1], np.float64))
         + 1j * (np.asarray(qs[2], np.float64)
                 + np.asarray(qs[3], np.float64)), axis=-1)
-    # keepS variants truncate the pair set at combined shift S — parity-
-    # valid as long as the truncation error stays inside the 1e-11 gate
-    # (r4e attribution: matmuls+accum = 1.87 of 2.52 ms, so fewer pairs
-    # is the direct attack on the dominant term; KEEP=53 keeps 27 pairs,
-    # 45 -> 18, 40 -> 11)
-    for v in ("full", "cheapacc", "keep45", "keep40"):
+    # keepS variants truncate the pair set at combined shift S — MEASURED
+    # over the gate (TPU r4f: keep45 7.3e-11, keep40 9.6e-9 vs 1e-11;
+    # the dropped products sum coherently over the K=128 contraction),
+    # so they are cost-curve rows only.  Parity-check just the variants
+    # actually selected for timing (each costs a kernel compile).
+    sel_parity = [v for v in ("full", "cheapacc", "keep45", "keep40")
+                  if v in (sys.argv[1].split(",") if len(sys.argv) > 1
+                           else ["full", "cheapacc"])]
+    for v in sel_parity:
         out = row_variant(*qs, variant=v)
         got = (np.asarray(out[0], np.float64) + np.asarray(out[1])
                + 1j * (np.asarray(out[2], np.float64) + np.asarray(out[3])))
