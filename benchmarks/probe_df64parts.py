@@ -44,22 +44,29 @@ N = 2048
 VOL = 1 << 22
 
 
-def _mxu_stage_variant(x, f, axis, wch, sign, keep, cheapacc):
-    """P._mxu_stage_df64 with a tunable combined-shift cap and an optional
-    f32 accumulation of the low-significance shift groups."""
+def _mxu_stage_variant(x, f, axis, wch, sign, keep, cheapacc,
+                       bfch=False):
+    """P._mxu_stage_df64 with a tunable combined-shift cap, an optional
+    f32 accumulation of the low-significance shift groups, and an
+    optional bf16-channel tail (``bfch``): the 7-bit chunks are exact in
+    bf16, pair products <= 2^14, and every f32 partial sum <= 6 pairs x
+    128 x 127^2 = 12.4e6 < 2^24 — so ONE native bf16 MXU pass per dot is
+    bit-exact, vs the int8->int32 lowering the r4f A/B showed running at
+    ~11% of peak (the c64 HIGHEST tail measures ~57%)."""
     rh, rl, ih, il = x
     a = jnp.maximum(jnp.abs(rh), jnp.abs(ih))
     amax = jnp.max(a).reshape(1, 1)
     eb = (jax.lax.bitcast_convert_type(amax, jnp.int32) >> 23) & 0xFF
     m = jnp.clip(eb - 126, -40, 120)
 
+    chdt = jnp.bfloat16 if bfch else jnp.int8
     channels = []
-    for cre, cim, s in zip(P._chunk_plane(rh, m, P._HI_SHIFTS),
-                           P._chunk_plane(ih, m, P._HI_SHIFTS),
+    for cre, cim, s in zip(P._chunk_plane(rh, m, P._HI_SHIFTS, chdt),
+                           P._chunk_plane(ih, m, P._HI_SHIFTS, chdt),
                            P._HI_SHIFTS):
         channels.append((jnp.concatenate([cre, cim], axis=axis), s))
-    for cre, cim, s in zip(P._chunk_plane(rl, m, P._LO_SHIFTS),
-                           P._chunk_plane(il, m, P._LO_SHIFTS),
+    for cre, cim, s in zip(P._chunk_plane(rl, m, P._LO_SHIFTS, chdt),
+                           P._chunk_plane(il, m, P._LO_SHIFTS, chdt),
                            P._LO_SHIFTS):
         channels.append((jnp.concatenate([cre, cim], axis=axis), s))
 
@@ -74,14 +81,18 @@ def _mxu_stage_variant(x, f, axis, wch, sign, keep, cheapacc):
     # least-significant first (matches production): the f32 trim needs no
     # extra live accumulator plane (the ascending form OOMed scoped VMEM
     # at 113.5M/100M on the n=2048 chain)
+    if bfch:
+        wch = [w.astype(jnp.bfloat16) for w in wch]
     acc_h = acc_l = None
     for s in sorted(pairs, reverse=True):
         g = None
         for wi, ci in pairs[s]:
-            y = jax.lax.dot_general(wch[wi], channels[ci][0], dims,
-                                    preferred_element_type=jnp.int32)
+            y = jax.lax.dot_general(
+                wch[wi], channels[ci][0], dims,
+                preferred_element_type=jnp.float32 if bfch else jnp.int32)
             g = y if g is None else g + y
-        val = g.astype(jnp.float32) * P._exp2_f32(m - jnp.int32(s))
+        val = (g if bfch else g.astype(jnp.float32)) \
+            * P._exp2_f32(m - jnp.int32(s))
         if acc_h is None:
             acc_h, acc_l = val, jnp.zeros_like(val)
         elif cheapacc and s >= 35:
@@ -126,7 +137,8 @@ def tile_variant(planes, tables, n, factors, sign, variant):
             keep = (14 if variant == "mxu1"
                     else int(variant[4:]) if variant.startswith("keep")
                     else P._KEEP)
-            cheap = variant in ("cheapacc",) or variant.startswith("keep")
+            cheap = (variant in ("cheapacc", "bfch")
+                     or variant.startswith("keep"))
             x4 = tuple(p.reshape(groups, L // groups, f, lanes) for p in x)
             outs = []
             for j in range(groups):
@@ -134,7 +146,8 @@ def tile_variant(planes, tables, n, factors, sign, variant):
                 wj = (j * factors[m - 2]) // groups   # cost-correct reuse
                 wch = flat[wj * nch:(wj + 1) * nch]
                 outs.append(_mxu_stage_variant(xj, f, 1, wch, sign,
-                                               keep, cheap))
+                                               keep, cheap,
+                                               bfch=variant == "bfch"))
             x = tuple(jnp.stack([o[k] for o in outs], axis=1)
                       for k in range(4))
             break
@@ -246,7 +259,8 @@ def main():
     # the dropped products sum coherently over the K=128 contraction),
     # so they are cost-curve rows only.  Parity-check just the variants
     # actually selected for timing (each costs a kernel compile).
-    sel_parity = [v for v in ("full", "cheapacc", "keep45", "keep40")
+    sel_parity = [v for v in ("full", "cheapacc", "bfch",
+                              "keep45", "keep40")
                   if v in (sys.argv[1].split(",") if len(sys.argv) > 1
                            else ["full", "cheapacc"])]
     for v in sel_parity:
@@ -277,7 +291,7 @@ def main():
                             lambda *p: P.fft_axis_df64(p, -1, axis=-1,
                                                        fold2=True))
     for v in ("full", "notw", "consttw", "nomxu", "mxu1", "fold32",
-              "cheapacc", "keep45", "keep40"):
+              "cheapacc", "bfch", "keep45", "keep40"):
         if v in sel:
             t[v] = report(f"variant {v}",
                           lambda *p, _v=v: row_variant(*p, variant=_v))
@@ -300,6 +314,7 @@ def main():
     row("  accum trim win      ", "full", "cheapacc")
     row("  keep45 win          ", "cheapacc", "keep45")
     row("  keep40 win          ", "cheapacc", "keep40")
+    row("  bf16-channel win    ", "cheapacc", "bfch")
     row("  fold32 tail delta   ", "fold32", "full")
     row("butterfly prefix P    ", "nomxu")
     row("fold2 win vs prod     ", "prod", "fold2")

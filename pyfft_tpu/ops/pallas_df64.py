@@ -176,9 +176,10 @@ def _exp2_f32(e):
     return jax.lax.bitcast_convert_type(bits.astype(jnp.int32), jnp.float32)
 
 
-def _chunk_plane(p, m, shifts):
-    """Exact 7-bit int8 channels of plane ``p`` at tile alignment 2^m:
-    p ~= sum_k c_k 2^(m - shifts[k]) (progressive subtraction is exact)."""
+def _chunk_plane(p, m, shifts, dtype=jnp.int8):
+    """Exact 7-bit channels of plane ``p`` at tile alignment 2^m:
+    p ~= sum_k c_k 2^(m - shifts[k]) (progressive subtraction is exact).
+    ``dtype`` int8 or bfloat16 — 7-bit ints are exact in both."""
     out = []
     r = p
     for s in shifts:
@@ -186,7 +187,7 @@ def _chunk_plane(p, m, shifts):
         inv = _exp2_f32(jnp.int32(s) - m)
         c = jnp.clip(jnp.round(r * inv), -127.0, 127.0)
         r = r - c * sh
-        out.append(c.astype(jnp.int8))
+        out.append(c.astype(dtype))
     return out
 
 
@@ -233,26 +234,21 @@ def _mxu_stage_df64(x, f, axis, wch, sign):
     # Only ONE int32 partial is live at a time either way; per-group
     # int32 sums stay < 2^22 (proto bound 2.5e5), so the f32 conversion
     # is exact.
-    # concat-K (r4e): a shift group's k pair-products share one exact
-    # int32 sum, so fuse them into ONE matmul with contraction K = k*2T
-    # (weights concatenated on their lane axis, data channels on the
-    # contraction axis) — bit-identical to the per-pair dots + int32
-    # adds it replaces (group sums <= 6*2.5e5 << 2^31), but 27 MXU
-    # dispatches become 9 with 2-6x the K per dispatch (the r4e
-    # attribution put matmuls+accum at 1.87 of 2.52 ms with the MXU far
-    # under peak — classic small-K pipeline-fill economics).
+    # Per-pair dots, NOT one concat-K matmul per shift group: the
+    # bit-identical concat-K form (weights concatenated on lanes, data
+    # on the contraction axis, K = k*2T per group, 27 dispatches -> 9)
+    # measured 3.835 ms vs 2.484 for this form in a same-window TPU A/B
+    # (r4f 19:38Z) — Mosaic materializes the concatenated operands as
+    # full VMEM relayouts every grid step, which costs far more than
+    # the dispatch/fill savings.  The dots are MAC-shaped, not
+    # dispatch-shaped; leave them separate.
     acc_h = acc_l = None
     for s in sorted(pairs, reverse=True):
-        plist = pairs[s]
-        if len(plist) == 1:
-            wi, ci = plist[0]
-            wcat, xcat = wch[wi], channels[ci][0]
-        else:
-            wcat = jnp.concatenate([wch[wi] for wi, _ in plist], axis=1)
-            xcat = jnp.concatenate([channels[ci][0] for _, ci in plist],
-                                   axis=axis)
-        g = jax.lax.dot_general(wcat, xcat, dims,
-                                preferred_element_type=jnp.int32)
+        g = None
+        for wi, ci in pairs[s]:
+            y = jax.lax.dot_general(wch[wi], channels[ci][0], dims,
+                                    preferred_element_type=jnp.int32)
+            g = y if g is None else g + y
         val = g.astype(jnp.float32) * _exp2_f32(m - jnp.int32(s))
         if acc_h is None:
             acc_h, acc_l = val, jnp.zeros_like(val)
