@@ -44,6 +44,12 @@ def _on_tpu() -> bool:
     return plat in ("tpu", "axon")
 
 
+# Per-chunk HBM budget for the batched-transform sweep (run_planar): a
+# chunk's input planes x its path's liveness fudge must fit here.  Module
+# level so tests can shrink it to exercise chunking on small shapes.
+_HBM_CHUNK_BUDGET = 4 << 30
+
+
 def _complex_on_device_ok() -> bool:
     """Whether complex arrays may live on the default device.
 
@@ -190,6 +196,19 @@ class Plan:
             norm /= self._exec_plan.total_n
         norm *= self.scale
 
+        def df64_covers(shape):
+            """Whether the double-float Pallas kernels cover every pass of
+            a batched input of this shape (f32 hi-plane probe)."""
+            from pyfft_tpu.ops import pallas_df64
+            probe = jax.ShapeDtypeStruct(shape, jnp.float32)
+            for p in self._exec_plan.passes:
+                if p.executor not in ("local", "fourstep", "huge"):
+                    return False
+                axis = len(shape) - ndim + p.axis
+                if not pallas_df64.supported(probe, axis):
+                    return False
+            return True
+
         def run_df64(re, im):
             """All passes through the double-float Pallas kernels, staying
             in (hi, lo) f32 quad form between passes; None if any pass
@@ -197,13 +216,8 @@ class Plan:
             from pyfft_tpu.ops import pallas_df64
             from pyfft_tpu.ops.df64 import split_f64
             passes = self._exec_plan.passes
-            probe = jax.ShapeDtypeStruct(re.shape, jnp.float32)
-            for p in passes:
-                if p.executor not in ("local", "fourstep", "huge"):
-                    return None
-                axis = re.ndim - ndim + p.axis
-                if not pallas_df64.supported(probe, axis):
-                    return None
+            if not df64_covers(re.shape):
+                return None
             rh, rl = split_f64(re)
             ih, il = split_f64(im)
             planes = (rh, rl, ih, il)
@@ -259,11 +273,21 @@ class Plan:
             bdims = re.ndim - ndim
             batch = math.prod(re.shape[:bdims]) if bdims else 1
             per_row = self._exec_plan.total_n * self._exec_plan.itemsize_plane
-            # the f64 recursion holds far more live temporaries than f32
-            # (measured on config 5: fudge 32 left a 16 GiB chip 135 MiB
-            # short at compile; fudge 64 still hit runtime OOM at batch 64)
-            fudge = 128 if self._exec_plan.itemsize_plane == 8 else 8
-            budget = 4 << 30
+            # the f64 XLA recursion holds far more live temporaries than
+            # f32 (measured on config 5: fudge 32 left a 16 GiB chip 135
+            # MiB short at compile; fudge 64 still hit runtime OOM at
+            # batch 64).  The df64 QUAD path is much leaner — its live set
+            # is ~3 quad generations (48 B/elem) plus the f64 endpoints
+            # (32 B/elem): probe_df64r3 runs an 8 x 2^22 four-step chain
+            # (2.1 GiB of that footprint) in one program, so fudge 16
+            # (chunk 8 on config 5) is measured-safe, and chunk 1 was
+            # costing config 5 ~30% in per-chunk glue + conversions.
+            if self._exec_plan.itemsize_plane == 8:
+                fudge = (16 if not self._force_xla and _on_tpu()
+                         and df64_covers(re.shape) else 128)
+            else:
+                fudge = 8
+            budget = _HBM_CHUNK_BUDGET
             if batch <= 1 or batch * per_row * fudge <= budget:
                 return run_planar_once(re, im)
             chunk = max(1, budget // (per_row * fudge))
@@ -386,9 +410,23 @@ class Plan:
             orig_shape = xc.shape
             xc, _ = self._canonicalize_host(xc, batch)
             v = xc.view(self._real_dtype)           # (..., 2N) interleaved
-            fn = self._get_callable(v.shape, inverse, "view")
-            res = fn(v)
-            out = np.asarray(res).view(self.dtype).reshape(orig_shape)
+            if self._view_kernel_ok(v.shape, v.dtype):
+                fn = self._get_callable(v.shape, inverse, "view")
+                res = fn(v)
+                out = np.asarray(res).view(self.dtype).reshape(orig_shape)
+            else:
+                # no device-native (de)interleave for this input: split to
+                # planar on the host (memcpy-speed) and reuse the chunked
+                # planar path — device programs stay at the proven lean
+                # planar shapes (see _view_kernel_ok)
+                re = np.ascontiguousarray(xc.real)
+                im = np.ascontiguousarray(xc.imag)
+                fn = self._get_callable(re.shape[:-ndim], inverse, "planar")
+                rr, ii = fn(re, im)
+                out = np.empty(xc.shape, dtype=self.dtype)
+                out.real = np.asarray(rr)
+                out.imag = np.asarray(ii)
+                out = out.reshape(orig_shape)
         wait = self.wait_for_finish if wait_for_finish is None else wait_for_finish
         if wait:
             self._wait(out)
@@ -411,6 +449,27 @@ class Plan:
         if leaves:
             from pyfft_tpu.utils.profiling import force
             force(leaves)
+
+    def _view_kernel_ok(self, vshape: tuple[int, ...], vdtype) -> bool:
+        """Whether "view" (interleaved) mode has a device-native conversion
+        for this input: the fused 1D row kernel, or the streaming MXU
+        selection conversions.  When neither applies (f64 views, odd
+        shapes), the in-jit XLA slice/stack fallback materializes the FULL
+        batch in minor-dim-2 layouts that pad 3.2x on TPU — a batch-40
+        c128 2^22 input compiled to 16 GiB of HLO temps (r4i verify drive
+        OOM) — so ``execute`` splits to planar on the host instead."""
+        ndim = len(self.shape)
+        passes = self._exec_plan.passes
+        if (len(passes) == 1 and passes[0].executor == "local"
+                and not self._force_xla):
+            from pyfft_tpu.ops import pallas_local
+            n = vshape[-1] // 2
+            probe = jax.ShapeDtypeStruct(vshape[:-1] + (n,), vdtype)
+            if pallas_local.supported(probe, len(vshape) - 1):
+                return True
+        from pyfft_tpu.ops import interleave as il
+        return (not self._force_xla and _on_tpu()
+                and il.supported(vshape, vdtype))
 
     def _canonicalize_host(self, x: np.ndarray, batch):
         ndim = len(self.shape)

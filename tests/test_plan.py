@@ -240,6 +240,40 @@ def test_df64_plan_large_1d(monkeypatch):
     assert rel_err(got, ref) < TOL[np.complex128]
 
 
+def test_df64_plan_chunked_batch(monkeypatch):
+    """Batched c128 plan over the HBM chunk budget: the lax.map sweep
+    routes through the df64 QUAD path with its lean fudge (16 vs the XLA
+    recursion's 128 — config-5 throughput fix, r4), parity at the gate."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(planmod, "_HBM_CHUNK_BUDGET", 1 << 20)
+    x = rand_complex((8, 2048), seed=34, dtype=np.complex128)
+    plan = Plan((2048,), np.complex128)
+    # budget 1 MiB / (2048 * 8 B * fudge 16) = chunk 4: two map steps
+    rr, ii = plan.execute(np.real(x), np.imag(x))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x, axis=-1)
+    assert rel_err(got, ref) < TOL[np.complex128]
+
+
+def test_df64_view_chunked_batch(monkeypatch):
+    """complex-in/complex-out c128 with a batch over the HBM chunk budget:
+    execute must split to planar on the HOST (no device-native f64
+    deinterleave exists) and run the chunked planar path — the in-jit XLA
+    slice/stack fallback compiled a batch-40 2^22 input to 16 GiB of
+    padded HLO temps on real TPU (r4i verify-drive OOM)."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_complex_on_device_ok", lambda: False)
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(planmod, "_HBM_CHUNK_BUDGET", 1 << 20)
+    x = rand_complex((8, 2048), seed=35, dtype=np.complex128)
+    plan = Plan((2048,), np.complex128)
+    out = plan.execute(x)
+    assert isinstance(out, np.ndarray) and out.dtype == np.complex128
+    ref = np.fft.fft(x, axis=-1)
+    assert rel_err(out, ref) < TOL[np.complex128]
+
+
 def test_df64_plan_2d(monkeypatch):
     """complex128 2D: two df64 column/row passes."""
     import pyfft_tpu.plan as planmod
