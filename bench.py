@@ -9,9 +9,27 @@ single-HBM-pass roofline for this config on v5e
 (bytes = 2 * N * batch * 8 at 819 GB/s -> 3071 GFLOP/s effective; target
 = 2150).  1.0 means the north-star is met.
 
-Timing strategy (this environment's TPU is behind a congested tunnel where
-``block_until_ready`` is a no-op and per-call dispatch latency swings 2-4x
-between identical runs):
+STAGED DESIGN (round 5; round 4's single 900 s window published an honest
+0.0 when the shared compile service wedged).  The process invoked by the
+driver is a stdlib-only ORCHESTRATOR that cannot wedge — it never imports
+jax.  It runs measurement tiers as subprocesses:
+
+  tier "pallas"  the full-quality bench (Plan's fused Pallas kernel, in-jit
+                 scan-chain estimator).  It appends every improved estimate
+                 to a status file as it goes, so even a mid-loop kill
+                 leaves a REAL partial measurement behind.
+  tier "xla"     fallback when the pallas tier produced nothing inside its
+                 budget (Mosaic compile queue wedged): Plan(force_xla=True)
+                 compiles through plain XLA, no Pallas helper involved.
+
+The published line is the best tier that completed; a non-primary source is
+flagged with extra.degraded ("partial-pallas" = real kernel measurement cut
+short; "xla-fallback" = the Pallas compile never finished).  Only if every
+tier fails does the orchestrator publish the honest zero.
+
+Timing strategy inside a tier (this environment's TPU is behind a congested
+tunnel where ``block_until_ready`` is a no-op and per-call dispatch latency
+swings 2-4x between identical runs):
 
 * PRIMARY estimator — in-jit scan chain: ONE dispatched program runs k
   kernel iterations via ``lax.scan`` (the plan is built with
@@ -33,66 +51,84 @@ from __future__ import annotations
 import json
 import math
 import os
-import signal
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 # Pin the autotune record to the repo-committed measurement for this
 # machine unless the caller overrides: a stale ~/.cache record from an
 # earlier round otherwise silently reverts tuned chains (r3: a round-2
 # row:4096 override hid the radix-8+fold headline chain from every
 # watcher/bench capture for hours).
+_HERE = os.path.dirname(os.path.abspath(__file__))
 os.environ.setdefault(
-    "PYFFT_TPU_TUNE_FILE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 "benchmarks", "tuned_v5e.json"))
+    "PYFFT_TPU_TUNE_FILE", os.path.join(_HERE, "benchmarks", "tuned_v5e.json"))
 
 N = 4096
 BATCH = 4096
 HBM_BW = 819e9  # v5e
 
-# Watchdog: this environment's shared compile service can wedge (a
-# pathological kernel once blocked the queue for an hour).  If the bench
-# can't finish in time, emit an honest zero-value line instead of hanging
-# the driver.
 TIMEOUT_S = int(os.environ.get("PYFFT_TPU_BENCH_TIMEOUT", "900"))
 
+METRIC = f"effective GFLOP/s, 1D c64 FFT N={N} batch={BATCH} (5N·log2N/t)"
+EFF_FLOPS = 5.0 * N * math.log2(N) * BATCH
+DT_PHYS = 2.0 * N * BATCH * 8 / HBM_BW          # one HBM pass, 4 f32 planes
+ROOF = EFF_FLOPS / DT_PHYS / 1e9
+TARGET = 0.70 * ROOF
 
-def _emit_timeout_line():
-    print(json.dumps({
-        "metric": f"effective GFLOP/s, 1D c64 FFT N={N} batch={BATCH} (5N·log2N/t)",
-        "value": 0.0,
+
+def _line_from_dt(dt: float, extra: dict) -> dict:
+    gflops = EFF_FLOPS / dt / 1e9
+    extra = dict(extra)
+    extra.update({
+        "ms_per_iter": round(dt * 1e3, 4),
+        "roofline_gflops": round(ROOF, 1),
+        "target_gflops_70pct_roofline": round(TARGET, 1),
+    })
+    return {
+        "metric": METRIC,
+        "value": round(gflops, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": 0.0,
-        "extra": {"error": f"bench did not complete within {TIMEOUT_S}s "
-                           "(TPU backend/compile service unresponsive)"},
-    }), flush=True)
-    os._exit(2)
+        "vs_baseline": round(gflops / TARGET, 4),
+        "extra": extra,
+    }
 
 
-def _watchdog(signum, frame):
-    _emit_timeout_line()
+def _zero_line(msg: str) -> dict:
+    return {"metric": METRIC, "value": 0.0, "unit": "GFLOP/s",
+            "vs_baseline": 0.0, "extra": {"error": msg}}
 
 
-def _force(tree):
-    return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0].ravel()[:1]))
+# --------------------------------------------------------------------- tiers
 
+def run_tier(tier: str, budget_s: float, status_path: str | None) -> None:
+    """One measurement tier (runs in a subprocess; may wedge — the parent
+    owns the kill).  Prints the finished JSON line on success and streams
+    every improved estimate to ``status_path`` so a kill mid-loop still
+    leaves a real measurement behind."""
+    deadline = time.monotonic() + budget_s
 
-def main():
-    # Belt and braces: SIGALRM alone cannot interrupt a main thread wedged
-    # inside PJRT backend init (a C call never returns to the bytecode
-    # loop, so the Python handler is deferred forever — observed when the
-    # axon tunnel went down mid-round-3).  A daemon timer thread can still
-    # run and _exit the process.
+    # In-process backstop: if the backend wedges inside a C call, SIGALRM
+    # can't fire (handler deferred) and only the parent's SIGKILL ends us;
+    # this daemon timer covers wedges that DO return to the bytecode loop.
     import threading
-    _timer = threading.Timer(TIMEOUT_S, _emit_timeout_line)
-    _timer.daemon = True                 # never outlives a normal finish
-    _timer.start()
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(TIMEOUT_S)
+    _t = threading.Timer(budget_s + 30, lambda: os._exit(3))
+    _t.daemon = True                     # never outlives a normal finish
+    _t.start()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def status(payload: dict) -> None:
+        if status_path:
+            tmp = status_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, status_path)
+
+    def _force(tree):
+        return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0].ravel()[:1]))
+
     from pyfft_tpu.plan import Plan
 
     # scale=1/sqrt(N): the forward FFT then preserves RMS magnitude
@@ -100,7 +136,8 @@ def main():
     # donate=True: the kernel aliases its input/output HBM buffers, so the
     # scan-chain carries need no copies (XLA otherwise inserts a 2x64 MiB
     # copy per iteration around the custom call in the loop body).
-    plan = Plan((N,), scale=1.0 / math.sqrt(N), donate=True)
+    plan = Plan((N,), scale=1.0 / math.sqrt(N), donate=True,
+                force_xla=(tier == "xla"))
     fn = plan._get_callable((BATCH,), False, "planar")
 
     key = jax.random.PRNGKey(0)
@@ -124,7 +161,9 @@ def main():
             return r, i
         return chain
 
-    KA, KB = 16, 216
+    # the XLA path is ~10x the kernel's per-iter time: shorter chains keep
+    # each trial around the same fraction of a second
+    KA, KB = (16, 216) if tier == "pallas" else (2, 26)
     chain_a, chain_b = make_chain(KA), make_chain(KB)
 
     def t_of(c):
@@ -157,15 +196,13 @@ def main():
     # Chain walls can only be inflated by congestion, so min-per-chain is
     # sound and the min difference is a lower bound on the true rate only
     # up to overhead variation, never a 10x fantasy.
-    target_dt = (2.0 * N * BATCH * 8 / HBM_BW) / 0.70   # s/iter at target
+    target_dt = DT_PHYS / 0.70          # s/iter at the north-star target
     # Physical floor: one iteration moves 4 planes of N*BATCH f32 through
     # HBM; nothing real finishes faster than that at spec bandwidth.  An
     # estimate below the floor is a differencing artifact (round 3's 0.9x
     # slack let the host family publish 3280 GF > the 3071 GF roofline in
     # the same JSON line).  The floor is exactly the physical time, so the
     # published value can NEVER exceed the roofline by construction.
-    dt_phys = 2.0 * N * BATCH * 8 / HBM_BW
-    deadline = time.monotonic() + min(TIMEOUT_S - 120, 780)
     tas, tbs, r4s, r24s = [], [], [], []
 
     def scan_family():
@@ -189,7 +226,17 @@ def main():
             s = host_family()               # scan unavailable: fall back
         if s is None:
             return None
-        return max(s, dt_phys)              # hard clamp at physics
+        return max(s, DT_PHYS)              # hard clamp at physics
+
+    def load_label():
+        # co-tenant load label (VERDICT r2 item 1): the concurrently-
+        # achievable copy bandwidth, recorded with every capture so a slow
+        # reading next to a halved copy probe reads as co-tenant load
+        from pyfft_tpu.utils.profiling import copy_bandwidth_gbs
+        try:
+            return round(copy_bandwidth_gbs(trials=3), 1)
+        except Exception:
+            return None
 
     # Sampling density: the co-tenant's load comes in second-scale waves,
     # and one ~100 ms micro-quiet window anywhere in the budget is enough
@@ -199,36 +246,30 @@ def main():
     # watcher's quiet captures prove the kernel clears the bar when one
     # arrives).  The host cross-check family runs sparsely: it cannot
     # raise the published number, only corroborate it.
+    best_seen = None
     for trial in range(400):
         tas.append(t_of(chain_a))
         tbs.append(t_of(chain_b))
-        if trial % 8 == 7:
+        if tier == "pallas" and trial % 8 == 7:
             r4s.append(run(4))
             r24s.append(run(24))
-        best = published_dt() or float("inf")
-        if best < 0.95 * target_dt or time.monotonic() > deadline:
+        dt_now = published_dt()
+        if dt_now is not None and dt_now != best_seen:
+            best_seen = dt_now
+            status(_line_from_dt(dt_now, {
+                "backend": jax.default_backend(), "tier": tier,
+                "trials": trial + 1}))
+        if dt_now is not None and dt_now < 0.95 * target_dt:
+            break
+        if time.monotonic() > deadline - 60:    # leave room for parity+label
             break
         time.sleep(1.5)
 
     dt = published_dt()
     if dt is None:
-        dt = max(t_of(chain_b) / KB, dt_phys)   # amortized upper bound
+        dt = max(t_of(chain_b) / KB, DT_PHYS)   # amortized upper bound
     scan_est = [scan_family()] if scan_family() is not None else []
     host_est = [host_family()] if host_family() is not None else []
-
-    eff_flops = 5.0 * N * math.log2(N) * BATCH
-    gflops = eff_flops / dt / 1e9
-    roof = eff_flops / (2.0 * N * BATCH * 8 / HBM_BW) / 1e9
-    target = 0.70 * roof
-
-    # co-tenant load label (VERDICT r2 item 1): the concurrently-achievable
-    # copy bandwidth, so every capture records whether the chip was being
-    # time-shared when the kernel was measured (quiet ~640 GB/s on v5e)
-    from pyfft_tpu.utils.profiling import copy_bandwidth_gbs
-    try:
-        load_gbs = round(copy_bandwidth_gbs(trials=3), 1)
-    except Exception:
-        load_gbs = None
 
     # parity spot check against numpy on a slice (undo the bench scale)
     rng = np.random.RandomState(1)
@@ -240,24 +281,108 @@ def main():
     ref = np.fft.fft(xs.astype(np.complex128), axis=-1)
     err = float(np.abs(got - ref).max() / np.abs(ref).max())
 
-    print(json.dumps({
-        "metric": f"effective GFLOP/s, 1D c64 FFT N={N} batch={BATCH} (5N·log2N/t)",
-        "value": round(gflops, 1),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / target, 4),
-        "extra": {
-            "ms_per_iter": round(dt * 1e3, 4),
-            "max_rel_err_vs_numpy": err,
-            "roofline_gflops": round(roof, 1),
-            "target_gflops_70pct_roofline": round(target, 1),
-            "backend": jax.default_backend(),
-            "ms_scan_estimates": [round(d * 1e3, 4) for d in scan_est],
-            "ms_host_estimates": [round(d * 1e3, 4) for d in host_est],
-            "concurrent_copy_gbs": load_gbs,
-            "kernel_io_gbs": round(4.0 * N * BATCH * 4 / dt / 1e9, 1),
-        },
-    }))
+    line = _line_from_dt(dt, {
+        "max_rel_err_vs_numpy": err,
+        "backend": jax.default_backend(),
+        "tier": tier,
+        "ms_scan_estimates": [round(d * 1e3, 4) for d in scan_est],
+        "ms_host_estimates": [round(d * 1e3, 4) for d in host_est],
+        "concurrent_copy_gbs": load_label(),
+        "kernel_io_gbs": round(4.0 * N * BATCH * 4 / dt / 1e9, 1),
+    })
+    status(line)
+    print(json.dumps(line), flush=True)
+
+
+# ---------------------------------------------------------------- orchestrator
+
+def _spawn_tier(tier: str, budget_s: float, status_path: str):
+    import subprocess
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--tier", tier, "--budget", str(budget_s), "--status", status_path],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, cwd=_HERE)
+
+
+def _reap(proc, budget_s: float):
+    """Wait for a tier subprocess; returns its final stdout JSON dict or
+    None.  Kills by PID (never by pattern) on timeout."""
+    try:
+        out, _ = proc.communicate(timeout=budget_s)
+    except Exception:
+        proc.kill()
+        try:
+            proc.communicate(timeout=30)
+        except Exception:
+            pass
+        return None
+    if proc.returncode != 0:
+        return None
+    for ln in reversed((out or "").strip().splitlines()):
+        try:
+            d = json.loads(ln)
+            if isinstance(d, dict) and "value" in d:
+                return d
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def _read_status(path: str):
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) and d.get("value", 0) > 0 else None
+    except Exception:
+        return None
+
+
+def main() -> None:
+    t0 = time.monotonic()
+    left = lambda: TIMEOUT_S - (time.monotonic() - t0)
+
+    import tempfile
+    tmpdir = tempfile.mkdtemp(prefix="pyfft_bench_")
+
+    # Tier 1: full-quality Pallas bench.  Its budget leaves enough behind
+    # for the XLA fallback tier plus orchestrator slack.
+    st1 = os.path.join(tmpdir, "pallas.json")
+    budget1 = max(120.0, left() - 300.0)
+    line = _reap(_spawn_tier("pallas", budget1, st1), budget1 + 45.0)
+    if line is not None:
+        print(json.dumps(line), flush=True)
+        return
+    partial = _read_status(st1)
+    if partial is not None:
+        # the tier was killed mid-loop but HAD a real scan-chain estimate:
+        # publish it (it is a genuine kernel measurement, just cut short)
+        partial.setdefault("extra", {})["degraded"] = "partial-pallas"
+        print(json.dumps(partial), flush=True)
+        return
+
+    # Tier 2: the Pallas path never produced a number (compile service
+    # wedged / Mosaic queue dead) — measure the pure-XLA path instead.
+    st2 = os.path.join(tmpdir, "xla.json")
+    budget2 = max(90.0, left() - 60.0)
+    line = _reap(_spawn_tier("xla", budget2, st2), budget2 + 30.0)
+    if line is None:
+        line = _read_status(st2)
+    if line is not None:
+        line.setdefault("extra", {})["degraded"] = "xla-fallback"
+        print(json.dumps(line), flush=True)
+        return
+
+    print(json.dumps(_zero_line(
+        f"no tier completed within {TIMEOUT_S}s "
+        "(TPU backend/compile service unresponsive)")), flush=True)
+    sys.exit(2)
 
 
 if __name__ == "__main__":
-    main()
+    if "--tier" in sys.argv:
+        args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
+        run_tier(args["--tier"], float(args.get("--budget", "600")),
+                 args.get("--status"))
+    else:
+        main()

@@ -1190,6 +1190,136 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
     return out_r, out_i
 
 
+def _col_fold_kernel(n, by, xc, x_ext, layout, postscale, factors, sign,
+                     *refs):
+    """Column FFT with folded-contiguous READ and native strided WRITE.
+
+    The r4 HLO study (docs/design.md round-5 log; probe_3dz glue2) named
+    the 3D composition glue: the (Z, Y, X) <-> (Z, Y*X) fold is a real
+    retiling (native tiles group 8 y-rows per z; folded tiles group 8
+    z-rows), which XLA materializes as relayout copies + S(1) staging
+    around the aliased custom calls (~1.0 ms of the 2.27 ms 256^3 plan).
+    Absorbing the UNFOLD into this kernel's store removes the output-side
+    relayout entirely: blocks read a contiguous lane range of the folded
+    view, the transform runs as proven (n, xc)-shaped tile_ffts on static
+    lane slices, and each slice stores straight into the native 4D layout.
+    (The mirrored native-READ form is a measured dead end: strided reads
+    ran at 24.3% io-eff — probe_3dz zrow — while this shape's strided
+    writes are free: 0.824 ms incl. one relayout vs zcol's 0.41 bare.)
+    """
+    nt = sum(arity for _, arity in layout)
+    tables = {}
+    pos = 0
+    for k, arity in layout:
+        tables[k] = tuple(refs[pos + j][:] for j in range(arity))
+        pos += arity
+    re_ref, im_ref, or_ref, oi_ref = refs[nt:nt + 4]
+    per_row = x_ext // xc                 # xc-sized chunks per output row
+    for j in range(by * per_row):
+        yy, xq = divmod(j, per_row)
+        sl = pl.ds(j * xc, xc)
+        xr, xi = tile_fft(re_ref[0, :, sl], im_ref[0, :, sl], tables, n,
+                          factors, "highest", True, sign)
+        if postscale != 1.0:
+            s = jnp.float32(postscale)
+            xr, xi = xr * s, xi * s
+        osl = pl.ds(xq * xc, xc)
+        or_ref[0, :, yy, osl] = xr
+        oi_ref[0, :, yy, osl] = xi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "sign", "postscale", "interpret", "factors", "precision", "by",
+    "x_ext"))
+def _fft_cols_fold(re, im, *, n, sign, postscale, interpret, factors,
+                   precision, by, x_ext):
+    """FFT over axis 1 of folded (L, n, T) planar arrays, output in the
+    native (L, n, T//x_ext, x_ext) layout (see _col_fold_kernel)."""
+    with jax.enable_x64(False):
+        L, _, T = re.shape
+        rows = T // x_ext
+        factors = tuple(factors or col_factors(n))
+        tables = needed_tables(n, sign, factors=factors,
+                               precision=precision)
+        layout = tuple((k, len(v)) for k, v in tables.items())
+        flat = [jnp.asarray(a) for v in tables.values() for a in v]
+        # lane width per tile_fft slice: 256 lanes are validated for plain
+        # column passes with n <= 512 only (CLAUDE.md Mosaic rules); wider
+        # n falls back to the universal 128-lane tile
+        xc = min(x_ext, 2 * LANES if n <= 512 else LANES)
+        tspec = [pl.BlockSpec(a.shape, lambda l, j, _nd=a.ndim: (0,) * _nd,
+                              memory_space=pltpu.VMEM) for a in flat]
+        ispec = pl.BlockSpec((1, n, by * x_ext), lambda l, j: (l, 0, j),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, n, by, x_ext), lambda l, j: (l, 0, j, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_col_fold_kernel, n, by, xc, x_ext, layout,
+                                 float(postscale), factors, sign)
+        oshape = jax.ShapeDtypeStruct((L, n, rows, x_ext), jnp.float32)
+        return pl.pallas_call(
+            kern, grid=(L, rows // by),
+            in_specs=tspec + [ispec, ispec],
+            out_specs=(ospec, ospec), out_shape=(oshape, oshape),
+            cost_estimate=pl.CostEstimate(
+                flops=8 * n * sum(factors) * T * L,
+                bytes_accessed=L * n * T * 4 * 4, transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(*flat, re, im)
+
+
+def supported_fold(re, axis: int) -> bool:
+    """Whether the fold-store column kernel covers this array/axis: a
+    transform axis with >= 2 trailing dims (where the folded view costs a
+    real retiling — for <= 1 trailing dim the fold is free and the plain
+    column kernel is optimal), lane-aligned minor, 8-row store groups."""
+    if re.dtype != jnp.float32:
+        return False
+    axis = axis % re.ndim
+    n = re.shape[axis]
+    if not (is_power_of_two(n) and _MIN_N <= n <= MAX_LOCAL_N):
+        return False
+    trail = re.shape[axis + 1:]
+    if len(trail) < 2:
+        return False
+    x_ext = trail[-1]
+    rows = math.prod(trail[:-1])
+    return (x_ext % LANES == 0 and x_ext <= 4 * LANES and rows % 8 == 0
+            and math.prod(trail) >= LANES)
+
+
+def fft_axis_fold(re, im, sign, *, axis, postscale: float = 1.0,
+                  interpret: bool | None = None, factors=None,
+                  precision: str = _PRECISION, by: int = 8):
+    """DFT along a non-minor ``axis`` with the output in NATIVE layout.
+
+    The TPU-native fix for the 3D z-pass composition glue (SURVEY §7
+    hard-part 3): the plain column kernel works on the folded
+    (lead, n, trail-flat) view, whose retiling XLA pays for on BOTH sides
+    of the kernel; this variant pays it once (on the input reshape) and
+    stores natively.  Covers axes with >= 2 trailing dims — 3D z-passes
+    and batched 2D column passes land here via ``supported_fold``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    axis = axis % re.ndim
+    n = re.shape[axis]
+    lead = re.shape[:axis]
+    trail = re.shape[axis + 1:]
+    L = math.prod(lead) if lead else 1
+    T = math.prod(trail)
+    x_ext = trail[-1]
+    rr, ii = _fft_cols_fold(
+        re.reshape(L, n, T), im.reshape(L, n, T), n=n, sign=sign,
+        postscale=float(postscale), interpret=bool(interpret),
+        factors=tuple(factors) if factors else None, precision=precision,
+        by=by, x_ext=x_ext)
+    oshape = (*lead, n, *trail)
+    return rr.reshape(oshape), ii.reshape(oshape)
+
+
 # Largest ny*nx element count for the fused 2D kernel.  2^18 (= 512x512,
 # 1 MiB per f32 plane) is the measured compile-safety limit: a 1024x1024
 # fused tile sends the Mosaic compile into a >6-minute (likely unbounded)

@@ -45,9 +45,51 @@ def _on_tpu() -> bool:
 
 
 # Per-chunk HBM budget for the batched-transform sweep (run_planar): a
-# chunk's input planes x its path's liveness fudge must fit here.  Module
-# level so tests can shrink it to exercise chunking on small shapes.
-_HBM_CHUNK_BUDGET = 4 << 30
+# chunk's input planes x its path's liveness fudge must fit here.  None =
+# query the device (a quarter of its HBM, matching the measured-safe 4 GiB
+# on a 16 GiB v5e); module level so tests can pin it to exercise chunking
+# on small shapes.
+_HBM_CHUNK_BUDGET: int | None = None
+_HBM_BUDGET_CACHE: int | None = None
+
+
+def _hbm_chunk_budget() -> int:
+    """The active per-chunk budget: the module override, else HBM/4 from
+    the device (``memory_stats`` is unavailable on some backends — e.g.
+    this environment's tunnel — where the 4 GiB v5e constant stands)."""
+    if _HBM_CHUNK_BUDGET is not None:
+        return _HBM_CHUNK_BUDGET
+    global _HBM_BUDGET_CACHE
+    if _HBM_BUDGET_CACHE is None:
+        budget = 4 << 30
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = int(stats.get("bytes_limit", 0)) if stats else 0
+            if limit > 0:
+                budget = limit // 4
+        except Exception:
+            pass
+        _HBM_BUDGET_CACHE = budget
+    return _HBM_BUDGET_CACHE
+
+
+def _il1d_route(n: int) -> str:
+    """Measured routing for single-pass interleaved 1D plans.
+
+    "stream" = deinterleave -> planar row kernel -> reinterleave (three
+    streaming HBM round trips); "fused" = the packed-layout row kernel
+    (one round trip, but pays in-kernel pair relayout).  The autotune
+    record ("il1d:{n}") holds the measured winner per machine; without a
+    record, streaming is the calibrated default (config-2 A/B on v5e:
+    stream ~2.6x faster end to end despite 3x the HBM traffic).
+    """
+    from pyfft_tpu.ops.pallas_local import _tuned_factors
+    v = _tuned_factors("il1d", n)
+    if v:                      # stored as a 1-element list, e.g. ["fused"]
+        route = v[0] if isinstance(v, (list, tuple)) else v
+        if route in ("stream", "fused"):
+            return route
+    return "stream"
 
 
 def _complex_on_device_ok() -> bool:
@@ -155,6 +197,20 @@ class Plan:
             return rr, ii, False
         if p.executor == "local" and not self._force_xla:
             from pyfft_tpu.ops import pallas_local
+            if (axis <= re.ndim - 3
+                    and pallas_local.supported_fold(re, axis)):
+                # non-minor axis with a >= 2D trail (3D z-pass, batched 2D
+                # columns): the fold-store kernel writes the NATIVE layout
+                # directly, sparing the output-side retiling copies the
+                # plain column kernel's folded view costs in compositions
+                # (measured 2.286 -> 1.844 ms on the 256^3 plan —
+                # probe_3dz glue2, docs/design.md round-5 log)
+                factors = (None if self.fast_math
+                           else pallas_local.precise_factors(re.shape[axis]))
+                rr, ii = pallas_local.fft_axis_fold(
+                    re, im, sign, axis=axis, postscale=postscale,
+                    factors=factors)
+                return rr, ii, True
             if pallas_local.supported(re, axis):
                 factors = (None if self.fast_math
                            else pallas_local.precise_factors(re.shape[axis]))
@@ -287,7 +343,7 @@ class Plan:
                          and df64_covers(re.shape) else 128)
             else:
                 fudge = 8
-            budget = _HBM_CHUNK_BUDGET
+            budget = _hbm_chunk_budget()
             if batch <= 1 or batch * per_row * fudge <= budget:
                 return run_planar_once(re, im)
             chunk = max(1, budget // (per_row * fudge))
@@ -315,22 +371,29 @@ class Plan:
                         and not self._force_xla)
 
             def fn(v):
+                from pyfft_tpu.ops import interleave as il
+                use_kernel = (not self._force_xla and _on_tpu()
+                              and il.supported(v.shape, v.dtype))
                 if fused_1d:
-                    # 1D interleaved: de/re-interleave fuse into the row
-                    # kernel's load/store for free — one HBM round trip for
-                    # the reference-style interleaved API.
+                    # 1D interleaved: the fused row kernel folds de/re-
+                    # interleave into its load/store (one HBM round trip) —
+                    # but its packed layout pays in-kernel relayout costs
+                    # that the 3-pass streaming route does not (measured on
+                    # config 2: fused 2.675 ms vs stream ~1.0 ms — the
+                    # r4 verdict's routing-by-capability bug).  Route by
+                    # the measured record (autotune kind "il1d"), falling
+                    # back to streaming whenever it applies.
                     from pyfft_tpu.ops import pallas_local
                     n = v.shape[-1] // 2
                     probe = jax.ShapeDtypeStruct(v.shape[:-1] + (n,), v.dtype)
-                    if pallas_local.supported(probe, v.ndim - 1):
+                    if pallas_local.supported(probe, v.ndim - 1) and not (
+                            use_kernel
+                            and _il1d_route(n) == "stream"):
                         factors = (None if self.fast_math
                                    else pallas_local.precise_factors(n))
                         return pallas_local.fft_rows_interleaved(
                             v, sign, postscale=norm, factors=factors,
                             alias_io=self.donate)
-                from pyfft_tpu.ops import interleave as il
-                use_kernel = (not self._force_xla and _on_tpu()
-                              and il.supported(v.shape, v.dtype))
                 if use_kernel:
                     # multi-pass / nd interleaved: streaming MXU selection
                     # conversions (bit-exact, ~copy speed) instead of the
@@ -344,6 +407,20 @@ class Plan:
                 re, im = run_planar(re, im)
                 out = jnp.stack([re, im], axis=-1)
                 return out.reshape(v.shape)
+        # De-monolith the multi-kernel df64 compile (VERDICT r4 item 6):
+        # a single program holding every df64 kernel of a 2D/3D c128 plan
+        # reproducibly OOM-kills this environment's shared compile helper
+        # at 512^2 (verify_captures_r4.md, 3 reproductions).  The kernel
+        # entry points (_fft_rows_df64/_fft_cols_df64) are individually
+        # jitted, so returning the UNJITTED composition dispatches each
+        # pass as its own compiled program — the helper sees one kernel
+        # per request, never the monolith.  Single-pass c128 plans (e.g.
+        # the config-5 four-step) keep the fused jit + donation.
+        if (split == "planar" and self._real_dtype == np.float64
+                and len(self._exec_plan.passes) > 1
+                and _on_tpu() and not self._force_xla
+                and df64_covers(batch_shape + self.shape)):
+            return fn
         donate = ()
         if self.donate:
             donate = (0, 1) if split == "planar" else (0,)

@@ -196,11 +196,35 @@ def autotune(ns, kinds=("row", "col"), volume: int = 1 << 24,
                 quad)
             if best is not None:
                 tuned[f"dsplit:{n}"] = list(best[1])
+        if "il1d" in kinds and n <= pallas_local.MAX_LOCAL_N:
+            # interleaved 1D route A/B (plan.py _il1d_route): the fused
+            # packed row kernel (1 HBM round trip, in-kernel pair
+            # relayout) vs streaming deinterleave -> planar row kernel ->
+            # reinterleave (3 round trips, all at copy speed)
+            from pyfft_tpu.ops import interleave as il
+            rows = max(256, volume // n)
+            v = jax.random.normal(jax.random.PRNGKey(5), (rows, 2 * n),
+                                  jnp.float32)
+
+            def _stream(x):
+                r, i = il.deinterleave(x)
+                r, i = pallas_local.fft_axis(r, i, -1, axis=-1,
+                                             alias_io=True)
+                return il.interleave(r, i)
+
+            best = _measure_splits(
+                f"il1d n={n}",
+                ["fused", "stream"],
+                lambda s: ((lambda x: pallas_local.fft_rows_interleaved(
+                    x, -1, alias_io=True)) if s == "fused" else _stream),
+                (v,))
+            if best is not None:
+                tuned[f"il1d:{n}"] = [best[1]]
         if n > pallas_local.MAX_LOCAL_N:
             continue         # row/col factor chains are local-kernel sizes
         cands = _candidates(n)
         for kind in kinds:
-            if kind in ("split", "dsplit"):
+            if kind in ("split", "dsplit", "il1d"):
                 continue
             best = None
             for c in cands:

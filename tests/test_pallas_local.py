@@ -241,3 +241,52 @@ def test_tile_fft_fold_last_twiddle(factors):
     got = np.asarray(rr) + 1j * np.asarray(ii)
     ref = np.fft.fft(x.astype(np.complex128), axis=0)
     assert rel_err(got, ref) < TOL[np.complex64]
+
+
+@pytest.mark.parametrize("shape,axis", [
+    ((64, 8, 128), 0),         # 3D z-pass, minimal store groups
+    ((256, 16, 256), 0),       # config-4 class (scaled down)
+    ((2, 64, 8, 128), 1),      # batched 3D z-pass
+    ((2, 32, 16, 8, 128), 1),  # 4D trail flattens to (rows, x_ext)
+])
+def test_fold_kernel_parity(shape, axis):
+    """Fold-store column kernel: folded read, NATIVE-layout store (the 3D
+    composition-glue fix — docs/design.md round-5 log)."""
+    import jax.numpy as jnp
+
+    from pyfft_tpu.ops.pallas_local import fft_axis_fold, supported_fold
+    x = rand_complex(shape, seed=sum(shape) + 3)
+    re, im = planar(x)
+    assert supported_fold(jnp.asarray(re), axis)
+    rr, ii = fft_axis_fold(re, im, -1, axis=axis)
+    assert rr.shape == shape
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fft(x.astype(np.complex128), axis=axis)
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_fold_kernel_inverse_postscale():
+    from pyfft_tpu.ops.pallas_local import fft_axis_fold
+    n = 64
+    x = rand_complex((n, 8, 128), seed=11)
+    re, im = planar(x)
+    fr, fi = fft_axis_fold(re, im, -1, axis=0)
+    br, bi = fft_axis_fold(fr, fi, +1, axis=0, postscale=1.0 / n)
+    got = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(got, x) < TOL[np.complex64]
+
+
+def test_fold_kernel_supported():
+    import jax.numpy as jnp
+
+    from pyfft_tpu.ops.pallas_local import supported_fold
+    ok = jnp.zeros((64, 8, 128), jnp.float32)
+    assert supported_fold(ok, 0)
+    # <2 trailing dims: the fold is free, plain column kernel applies
+    assert not supported_fold(jnp.zeros((64, 128), jnp.float32), 0)
+    # minor dim not lane-aligned
+    assert not supported_fold(jnp.zeros((64, 8, 64), jnp.float32), 0)
+    # store rows not 8-groupable
+    assert not supported_fold(jnp.zeros((64, 4, 128), jnp.float32), 0)
+    # f64 planes stay on the df64/XLA paths
+    assert not supported_fold(jnp.zeros((64, 8, 128), jnp.float64), 0)
