@@ -80,8 +80,10 @@ def _il1d_route(n: int) -> str:
     streaming HBM round trips); "fused" = the packed-layout row kernel
     (one round trip, but pays in-kernel pair relayout).  The autotune
     record ("il1d:{n}") holds the measured winner per machine; without a
-    record, streaming is the calibrated default (config-2 A/B on v5e:
-    stream ~2.6x faster end to end despite 3x the HBM traffic).
+    record, streaming is the calibrated default (config-2 A/B on v5e,
+    r5: stream 1.735 ms vs fused 2.610 ms — 1.5x, despite 3x the HBM
+    traffic, because the fused kernel's stride-2 pair relayouts run far
+    below streaming speed).
     """
     from pyfft_tpu.ops.pallas_local import _tuned_factors
     v = _tuned_factors("il1d", n)
@@ -379,8 +381,8 @@ class Plan:
                     # interleave into its load/store (one HBM round trip) —
                     # but its packed layout pays in-kernel relayout costs
                     # that the 3-pass streaming route does not (measured on
-                    # config 2: fused 2.675 ms vs stream ~1.0 ms — the
-                    # r4 verdict's routing-by-capability bug).  Route by
+                    # config 2, r5 A/B: fused 2.610 ms vs stream 1.735 —
+                    # the r4 verdict's routing-by-capability bug).  Route by
                     # the measured record (autotune kind "il1d"), falling
                     # back to streaming whenever it applies.
                     from pyfft_tpu.ops import pallas_local
