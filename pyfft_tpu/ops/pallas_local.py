@@ -1411,6 +1411,117 @@ def _fft2_fused_inner(re, im, *, ny, nx, sign, postscale, interpret,
     )(*flat, re, im)
 
 
+# Tiled fused-2D ceiling: the r3 monolithic 1024^2 tile (tile_fft at 1024
+# lanes) sent Mosaic into an unbounded search; the TILED variant below
+# keeps every op at the proven (n, 128)-lane shapes, so its ceiling is
+# VMEM (3 plane pairs of ny*nx f32 + kernel temps under the 100 MiB
+# scoped limit), not the compile search.
+MAX_FUSED2D_TILED_ELEMS = 1 << 20
+
+
+def _fused2d_tiled_kernel(ny, nx, layout, postscale, fy, fx, precision,
+                          sign, *refs):
+    """Fused 2D DFT with every tile_fft at <= 128 lanes.
+
+    KEPT AS A MEASURED NEGATIVE RESULT (r5) — correct, compiles safely,
+    and is NOT routed by the planner.  The monolithic fused kernel
+    transforms whole (ny, nx) planes with nx-lane tile_ffts — fine to
+    512^2, pathological Mosaic compile at 1024^2 (docs/design.md r3).
+    This variant walks 128-lane slices through a VMEM scratch plane to
+    keep every op at proven shapes; measured on TPU (probe_f2dtiled):
+    0.977 ms vs the monolithic kernel's 0.071 on 4x256^2 — 14x — and a
+    scratch-FREE value-level halves variant measured the same (1.017 ms),
+    so the cost is Mosaic materializing each lane slice/concat as full
+    VMEM relayout rounds, not the scratch.  Conclusion recorded in
+    docs/design.md round-5 log: a one-HBM-pass 1024^2 fused tile is
+    infeasible on this toolchain in all three constructions; config 3
+    stays on the native row+col two-pass schedule.
+    """
+    nt = sum(arity for _, arity in layout)
+    tables = {}
+    pos = 0
+    for k, arity in layout:
+        tables[k] = tuple(refs[pos + j][:] for j in range(arity))
+        pos += arity
+    re_ref, im_ref, or_ref, oi_ref, sr_ref, si_ref = refs[nt:nt + 6]
+    for j in range(nx // LANES):          # y-axis stages, per x-slice
+        sl = pl.ds(j * LANES, LANES)
+        xr, xi = tile_fft(re_ref[0, :, sl], im_ref[0, :, sl], tables, ny,
+                          fy, precision, True, sign)
+        sr_ref[:, sl] = xr
+        si_ref[:, sl] = xi
+    for j in range(ny // LANES):          # x-axis stages, per ky-slice
+        rs = pl.ds(j * LANES, LANES)
+        xr, xi = tile_fft(sr_ref[rs, :].T, si_ref[rs, :].T, tables, nx,
+                          fx, precision, True, sign)
+        if postscale != 1.0:
+            s = jnp.float32(postscale)
+            xr, xi = xr * s, xi * s
+        or_ref[0, rs, :] = xr.T
+        oi_ref[0, rs, :] = xi.T
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ny", "nx", "sign", "postscale", "interpret", "factors_y", "factors_x",
+    "precision", "alias_io"))
+def _fft2_fused_tiled(re, im, *, ny, nx, sign, postscale, interpret,
+                      factors_y=None, factors_x=None, precision=_PRECISION,
+                      alias_io=False):
+    with jax.enable_x64(False):
+        L = re.shape[0]
+        fy = tuple(factors_y or col_factors(ny))
+        fx = tuple(factors_x or col_factors(nx))
+        tables = needed_tables(ny, sign, factors=fy, precision=precision)
+        tables.update(needed_tables(nx, sign, factors=fx,
+                                    precision=precision))
+        layout = tuple((k, len(v)) for k, v in tables.items())
+        flat = [jnp.asarray(a) for v in tables.values() for a in v]
+        tspec = [pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
+                              memory_space=pltpu.VMEM) for a in flat]
+        dspec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_fused2d_tiled_kernel, ny, nx, layout,
+                                 float(postscale), fy, fx, precision, sign)
+        oshape = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
+        nd = len(tspec)
+        aliases = {nd: 0, nd + 1: 1} if alias_io else {}
+        return pl.pallas_call(
+            kern, grid=(L,),
+            in_specs=tspec + [dspec, dspec],
+            out_specs=(dspec, dspec), out_shape=(oshape, oshape),
+            input_output_aliases=aliases,
+            scratch_shapes=[pltpu.VMEM((ny, nx), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=8 * ny * nx * (sum(fy) + sum(fx)) * L,
+                bytes_accessed=L * ny * nx * 4 * 4, transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(*flat, re, im)
+
+
+def fft2_fused_tiled(re, im, sign, *, postscale: float = 1.0,
+                     interpret: bool | None = None, factors_y=None,
+                     factors_x=None, precision: str = _PRECISION,
+                     alias_io: bool = False):
+    """One-HBM-pass 2D DFT for tiles past the monolithic compile ceiling
+    (512^2 < ny*nx <= 1024^2); see _fused2d_tiled_kernel."""
+    if interpret is None:
+        interpret = _interpret_default()
+    shape = re.shape
+    ny, nx = shape[-2], shape[-1]
+    lead = shape[:-2]
+    L = math.prod(lead) if lead else 1
+    rr, ii = _fft2_fused_tiled(
+        re.reshape(L, ny, nx), im.reshape(L, ny, nx), ny=ny, nx=nx,
+        sign=sign, postscale=float(postscale), interpret=bool(interpret),
+        factors_y=tuple(factors_y) if factors_y else None,
+        factors_x=tuple(factors_x) if factors_x else None,
+        precision=precision, alias_io=alias_io)
+    return rr.reshape(shape), ii.reshape(shape)
+
+
 def supported_2d(re, im=None) -> bool:
     """Whether the fused 2D kernel covers the last two axes of this array."""
     if re.dtype != jnp.float32 or re.ndim < 2:

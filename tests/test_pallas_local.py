@@ -290,3 +290,26 @@ def test_fold_kernel_supported():
     assert not supported_fold(jnp.zeros((64, 4, 128), jnp.float32), 0)
     # f64 planes stay on the df64/XLA paths
     assert not supported_fold(jnp.zeros((64, 8, 128), jnp.float64), 0)
+
+
+@pytest.mark.parametrize("shape", [(256, 128), (2, 128, 256)])
+def test_fused2d_tiled_parity(shape):
+    """Tiled fused-2D kernel (the 1024^2-class compile-safe form): same
+    math as fft2_fused, every tile_fft at <= 128 lanes."""
+    from pyfft_tpu.ops.pallas_local import fft2_fused_tiled
+    x = rand_complex(shape, seed=sum(shape))
+    re, im = planar(x)
+    rr, ii = fft2_fused_tiled(re, im, -1)
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x.astype(np.complex128), axes=(-2, -1))
+    assert rel_err(got, ref) < TOL[np.complex64]
+
+
+def test_fused2d_tiled_inverse_postscale():
+    from pyfft_tpu.ops.pallas_local import fft2_fused_tiled
+    x = rand_complex((128, 128), seed=21)
+    re, im = planar(x)
+    fr, fi = fft2_fused_tiled(re, im, -1)
+    br, bi = fft2_fused_tiled(fr, fi, +1, postscale=1.0 / x.size)
+    got = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(got, x) < TOL[np.complex64]
