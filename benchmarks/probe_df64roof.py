@@ -56,16 +56,24 @@ def main():
     # -- 27-dot shift-group chain (the kernel's accumulation shape) --
     # 9 groups of 1-6 dots sharing an int32 sum, converted to f32 and
     # accumulated — the XLA-level twin of _mxu_stage_df64's loop.
+    # DISTINCT weight matrices per dot (the first version reused one w and
+    # XLA CSE'd all 27 dots into one: a fantasy 584 Tmac/s reading).  One
+    # shared x operand, like the kernel (its 9 channels are VMEM-resident;
+    # here one channel models the reuse class).
     groups = [6, 5, 4, 3, 2, 1, 3, 2, 1]          # 27 dots total
+    ws = [jnp.asarray(rng.randint(-127, 128, (128, 128)), jnp.int8)
+          for _ in range(27)]
 
     def dot27(xv):
         acc = None
+        k = 0
         for g in groups:
             s = None
             for _ in range(g):
-                y = jax.lax.dot_general(w, xv, (((1,), (0,)), ((), ())),
+                y = jax.lax.dot_general(ws[k], xv, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.int32)
                 s = y if s is None else s + y
+                k += 1
             v = s.astype(jnp.float32)
             acc = v if acc is None else acc + v
         return jnp.clip(acc, -127, 127).astype(jnp.int8)
@@ -75,19 +83,21 @@ def main():
     print(f"27-dot group chain: {dt27*1e3:.3f} ms  "
           f"{27*macs/dt27/1e12:.1f} Tmac/s  copy {load:.0f} GB/s", flush=True)
 
-    # -- VPU f32 madd chain: 16 fused madds per element per iteration --
+    # -- VPU f32 madd chain: 64 fused madds per element per iteration --
+    # (x16 measured HBM-bound: 0.375 ms ~= the 256 MiB round trip at the
+    # concurrent copy rate; x64 makes the chain compute-bound)
     a = jnp.asarray(rng.standard_normal((4096, 8192)), jnp.float32)
 
     def vpu(av):
         y = av
-        for _ in range(16):
+        for _ in range(64):
             y = y * jnp.float32(0.999999) + jnp.float32(1e-7)
         return y
 
     dtv = time_scan_chain(vpu, (a,), trials=4)
-    flops = 2 * 16 * a.size
+    flops = 2 * 64 * a.size
     load = copy_bandwidth_gbs(trials=2)
-    print(f"VPU f32 madd x16: {dtv*1e3:.3f} ms  "
+    print(f"VPU f32 madd x64: {dtv*1e3:.3f} ms  "
           f"{flops/dtv/1e12:.2f} Tflop/s  copy {load:.0f} GB/s", flush=True)
 
 
