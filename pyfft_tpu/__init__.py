@@ -6,7 +6,7 @@ single/double precision, interleaved and split complex storage, behind the
 same ``Plan(shape).execute(data)`` surface.
 """
 
-VERSION = (0, 4, 0)
+VERSION = (0, 5, 0)
 __version__ = ".".join(map(str, VERSION))
 
 from pyfft_tpu.plan import Plan

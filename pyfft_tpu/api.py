@@ -20,6 +20,16 @@ _PLAN_CACHE: dict = {}
 
 
 def get_plan(shape, dtype=np.complex64, **kwargs) -> Plan:
+    """Memoized ``Plan`` for the functional wrappers.
+
+    The cache is unbounded by design: a Plan is a handful of Python
+    objects plus jit caches keyed by batch shape, and FFT workloads reuse
+    a small set of shapes (the reference likewise expected plans to be
+    built once and reused — SURVEY.md §3.1 "hot spot").  Applications
+    cycling through unbounded distinct shapes should construct ``Plan``
+    directly and manage lifetimes themselves, or clear
+    ``pyfft_tpu.api._PLAN_CACHE``.
+    """
     if isinstance(shape, (int, np.integer)):
         shape = (int(shape),)
     key = (tuple(shape), np.dtype(dtype).name, tuple(sorted(kwargs.items())))
