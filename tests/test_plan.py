@@ -525,3 +525,20 @@ def test_mid_axis_fourstep_plan(monkeypatch):
     br, bi = plan.execute(rr, ii, inverse=True)
     rt = np.asarray(br) + 1j * np.asarray(bi)
     assert rel_err(rt, x) < TOL[np.complex64]
+
+
+def test_df64_staged_multipass(monkeypatch):
+    """Multi-pass c128 plans on TPU dispatch each df64 pass as its OWN
+    compiled program (the r4 512^2 de-monolith): the planar callable is
+    the unjitted composition, and parity holds through it."""
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((256, 256), seed=41, dtype=np.complex128)
+    plan = Plan((256, 256), np.complex128)
+    fn = plan._get_callable((), False, "planar")
+    # the staged path returns a plain function, not a jitted executable
+    assert not hasattr(fn, "lower")
+    rr, ii = plan.execute(np.real(x), np.imag(x))
+    got = np.asarray(rr) + 1j * np.asarray(ii)
+    ref = np.fft.fftn(x, axes=(-2, -1))
+    assert rel_err(got, ref) < TOL[np.complex128]
