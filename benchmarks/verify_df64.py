@@ -2,71 +2,107 @@
 roundtrip, and the 2D/3D column-pass compositions (VERDICT r3 missing
 item 3).  Kept separate from verify_drive.py because each fresh df64
 kernel costs 20-40 s on the shared compile service and the combined
-drive overruns one watchdog window."""
+drive overruns one watchdog window.
+
+r5 restructure: every check runs in its OWN subprocess with a hard
+timeout.  Two failure classes this drive has met are not Python
+exceptions — the shared compile helper being OOM-killed (r4: the 512^2
+multi-kernel program, fixed by the per-pass staged dispatch in plan.py)
+and the 2026-08-20 service regression where fresh int8-tail df64 kernel
+compiles hang indefinitely inside ``backend_compile_and_load`` (bisected:
+fresh c64 kernels compile in ~2 min, butterfly-only df64 in ~3 min,
+every int8-tail df64 >50 min without returning).  A hung check now
+yields an honest TIMEOUT row instead of eating the rest of the drive.
+
+Usage: ``python verify_df64.py [--timeout S] [names...]``; with no names
+all checks run.  ``--one NAME`` is the internal single-check entry.
+"""
 import os
+import subprocess
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import numpy as np
-
-jax.config.update("jax_enable_x64", True)
-
-from pyfft_tpu import fft, ifft
-
-rng = np.random.RandomState(7)
-FAILURES = []
+CHECKS = ["local2048", "fourstep2e16", "roundtrip", "fftn2d256",
+          "fftn3d128", "fftn2d512"]
 
 
-def check(name, got, ref, tol):
+def _run_one(name: str) -> None:
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_enable_x64", True)
+
+    from pyfft_tpu import fft, fftn, ifft
+
+    rng = np.random.RandomState(7)
+
+    def cplx(shape, dtype=np.complex128):
+        return (rng.standard_normal(shape)
+                + 1j * rng.standard_normal(shape)).astype(dtype)
+
+    # deterministic data per check (the old sequential-rng coupling made
+    # single-check runs differ from full-drive runs)
+    if name == "local2048":
+        x = cplx((8, 2048))
+        got, ref = fft(x), np.fft.fft(x, axis=-1)
+    elif name == "fourstep2e16":
+        x = cplx((2, 1 << 16))
+        got, ref = fft(x), np.fft.fft(x, axis=-1)
+    elif name == "roundtrip":
+        x = cplx((8, 2048))
+        got, ref = ifft(fft(x)), x
+    elif name == "fftn2d256":
+        x = cplx((2, 256, 256))
+        got, ref = fftn(x, ndim=2), np.fft.fftn(x, axes=(-2, -1))
+    elif name == "fftn3d128":
+        x = cplx((128, 128, 128))
+        got, ref = fftn(x), np.fft.fftn(x)
+    elif name == "fftn2d512":
+        x = cplx((2, 512, 512))
+        got, ref = fftn(x, ndim=2), np.fft.fftn(x, axes=(-2, -1))
+    else:
+        raise SystemExit(f"unknown check {name}")
     err = np.abs(np.asarray(got) - ref).max() / np.abs(ref).max()
-    ok = err < tol
-    print(f"{'PASS' if ok else 'FAIL'} {name:44s} err={err:.2e} tol={tol}",
+    ok = err < 1e-11
+    print(f"{'PASS' if ok else 'FAIL'} {name:16s} err={err:.2e} tol=1e-11",
           flush=True)
-    if not ok:
-        FAILURES.append(name)
+    raise SystemExit(0 if ok else 1)
 
 
-def cplx(shape, dtype=np.complex128):
-    return (rng.standard_normal(shape)
-            + 1j * rng.standard_normal(shape)).astype(dtype)
+def main() -> int:
+    args = sys.argv[1:]
+    if args[:1] == ["--one"]:
+        _run_one(args[1])
+        return 0
+    timeout = 900
+    if args[:1] == ["--timeout"]:
+        timeout = int(args[1])
+        args = args[2:]
+    names = args or CHECKS
+    failures = []
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                timeout=timeout, capture_output=True, text=True)
+            out = (proc.stdout or "").strip()
+            print(out or f"FAIL {name:16s} rc={proc.returncode} "
+                  f"{(proc.stderr or '').strip().splitlines()[-1][:100] if proc.stderr else ''}",
+                  flush=True)
+            if proc.returncode != 0:
+                failures.append(name)
+        except subprocess.TimeoutExpired:
+            print(f"HANG {name:16s} compile did not return within "
+                  f"{timeout}s ({time.monotonic()-t0:.0f}s elapsed) — "
+                  "service-side wedge class, see module docstring",
+                  flush=True)
+            failures.append(name)
+    print("FAILURES:", failures if failures else "none", flush=True)
+    return 1 if failures else 0
 
 
-def guarded(name, fn, ref, tol):
-    """One check = one compile of a multi-kernel df64 program; the 512^2
-    2D program reproducibly SIGKILLs the shared compile helper (r4c,
-    twice ~10 min in — helper OOM class), so each check must not take
-    the rest of the drive down with it."""
-    try:
-        check(name, fn(), ref, tol)
-    except Exception as e:                      # noqa: BLE001
-        print(f"FAIL {name:44s} {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:120]}", flush=True)
-        FAILURES.append(name)
-
-
-xd = cplx((8, 2048))
-guarded("fft c128 local n=2048", lambda: fft(xd),
-        np.fft.fft(xd, axis=-1), 1e-11)
-xdl = cplx((2, 1 << 16))
-guarded("fft c128 four-step n=2^16", lambda: fft(xdl),
-        np.fft.fft(xdl, axis=-1), 1e-11)
-guarded("ifft(fft) c128 roundtrip", lambda: ifft(fft(xd)), xd, 1e-11)
-
-# 2D/3D: the df64 column-pass composition on real hardware (smallest
-# shapes first: each is a fresh multi-kernel program compile)
-from pyfft_tpu import fftn
-
-x2s = cplx((2, 256, 256))
-guarded("fftn c128 2D 256^2", lambda: fftn(x2s, ndim=2),
-        np.fft.fftn(x2s, axes=(-2, -1)), 1e-11)
-x3 = cplx((128, 128, 128))
-guarded("fftn c128 3D 128^3", lambda: fftn(x3),
-        np.fft.fftn(x3), 1e-11)
-x2 = cplx((2, 512, 512))
-guarded("fftn c128 2D 512^2", lambda: fftn(x2, ndim=2),
-        np.fft.fftn(x2, axes=(-2, -1)), 1e-11)
-
-print("FAILURES:", FAILURES if FAILURES else "none")
-raise SystemExit(1 if FAILURES else 0)
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -832,8 +833,16 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
     n = rh.shape[axis]
     if interpret is None:
         interpret = _interpret_default()
-    if factors is None and not fast_math and n <= 2048:
-        factors = default_factors_df64(n)   # the precise butterfly chain
+    if (factors is None and n <= 2048
+            and (not fast_math or os.environ.get("PYFFT_TPU_DF64_BUTTERFLY"))):
+        # the precise butterfly chain.  The env override exists because
+        # fresh compiles of int8-MXU-tail df64 kernels HANG indefinitely
+        # on this environment's 2026-08-20 compile service (r5 bisection:
+        # fresh c64 kernels compile in ~2 min, butterfly-only df64 in
+        # ~3 min, every int8-tail df64 >50 min without returning —
+        # docs/design.md round-5 log); butterfly chains keep c128 usable
+        # on such a service at the precise-chain speed.
+        factors = default_factors_df64(n)
     if factors is None and n >= 64:
         # int8-MXU tail chains replace the small-rest butterfly stages
         # (the expensive ones) with one exact MXU contraction: measured
