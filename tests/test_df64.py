@@ -319,3 +319,26 @@ def test_df64_fourstep_forced_split_parity():
     with pytest.raises(ValueError):
         pallas_df64.fft_axis_large_df64(_quad(x), -1, axis=-1,
                                         split=(128, 128), interpret=True)
+
+
+def test_butterfly_env_override(monkeypatch):
+    """PYFFT_TPU_DF64_BUTTERFLY=1 routes default df64 chains through the
+    exact butterfly kernels (the r5 compile-service-regression escape
+    hatch) at full parity."""
+    import numpy as np
+
+    from pyfft_tpu.ops.df64 import split_f64
+    from pyfft_tpu.ops.pallas_df64 import fft_axis_df64
+
+    monkeypatch.setenv("PYFFT_TPU_DF64_BUTTERFLY", "1")
+    rng = np.random.RandomState(9)
+    x = (rng.standard_normal((8, 512))
+         + 1j * rng.standard_normal((8, 512))).astype(np.complex128)
+    rh, rl = split_f64(x.real)
+    ih, il = split_f64(x.imag)
+    out = fft_axis_df64((rh, rl, ih, il), -1, axis=-1)
+    got = (np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+           + 1j * (np.asarray(out[2], np.float64)
+                   + np.asarray(out[3], np.float64)))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
