@@ -10,7 +10,12 @@ the ONLY safe traffic is an occasional cached-load probe
 * on the FIRST green probe, starts a replacement warm watcher
   (watch_quiet.py, 16 h deadline, pid -> /tmp/watch_r5b.pid) so the
   load-trail / quiet-capture pipeline outlives the original watcher's
-  deadline, then exits.
+  deadline, then exits, and
+* if recovery hasn't happened by FALLBACK_START_EPOCH (just before the
+  original watcher's 10 h deadline), starts the replacement anyway: its
+  program-load request queues behind the wedged jobs and completes
+  automatically whenever the service recovers, so warm coverage resumes
+  without anyone noticing the moment of recovery.
 
 The monitor itself never imports jax (cannot wedge) and kills only by
 PID, never by pattern.
@@ -65,13 +70,21 @@ def start_watcher():
 
 def main():
     t0 = time.monotonic()
+    fallback_epoch = float(os.environ.get("FALLBACK_START_EPOCH", "0"))
+    started = False
     while time.monotonic() - t0 < DEADLINE_S:
         res = probe_ok()
         log({"probe": res})
         if res.get("cached", {}).get("ok"):
             log({"event": "service recovered"})
-            start_watcher()
+            if not started:
+                start_watcher()
             return 0
+        if not started and fallback_epoch and time.time() >= fallback_epoch:
+            log({"event": "fallback: starting replacement watcher queued "
+                          "behind wedged service"})
+            start_watcher()
+            started = True
         time.sleep(POLL_S)
     log({"event": "monitor deadline reached, no recovery"})
     return 1
