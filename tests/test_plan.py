@@ -542,3 +542,48 @@ def test_df64_staged_multipass(monkeypatch):
     got = np.asarray(rr) + 1j * np.asarray(ii)
     ref = np.fft.fftn(x, axes=(-2, -1))
     assert rel_err(got, ref) < TOL[np.complex128]
+
+
+def test_hbm_chunk_budget_sources(monkeypatch):
+    """_hbm_chunk_budget: module override wins; else the device's
+    bytes_limit/4; else the 4 GiB v5e constant (r4 verdict weak #7)."""
+    import pyfft_tpu.plan as planmod
+
+    monkeypatch.setattr(planmod, "_HBM_CHUNK_BUDGET", 123)
+    assert planmod._hbm_chunk_budget() == 123
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30}
+
+    monkeypatch.setattr(planmod, "_HBM_CHUNK_BUDGET", None)
+    monkeypatch.setattr(planmod, "_HBM_BUDGET_CACHE", None)
+    monkeypatch.setattr(planmod.jax, "local_devices", lambda: [FakeDev()])
+    assert planmod._hbm_chunk_budget() == 4 << 30
+
+    class NoStats:
+        def memory_stats(self):
+            return None
+
+    monkeypatch.setattr(planmod, "_HBM_BUDGET_CACHE", None)
+    monkeypatch.setattr(planmod.jax, "local_devices", lambda: [NoStats()])
+    assert planmod._hbm_chunk_budget() == 4 << 30
+
+
+def test_il1d_route_record(monkeypatch):
+    """_il1d_route follows the autotune record and falls back to the
+    calibrated streaming default on anything unrecognized (r4 verdict
+    weak #4: route by measured cost, not capability order)."""
+    import pyfft_tpu.plan as planmod
+    from pyfft_tpu.ops import pallas_local
+
+    records = {}
+    monkeypatch.setattr(pallas_local, "_tuned_factors",
+                        lambda kind, n: records.get(f"{kind}:{n}"))
+    assert planmod._il1d_route(4096) == "stream"      # no record
+    records["il1d:4096"] = ["fused"]
+    assert planmod._il1d_route(4096) == "fused"
+    records["il1d:4096"] = ["stream"]
+    assert planmod._il1d_route(4096) == "stream"
+    records["il1d:4096"] = ["garbage"]                # corrupt record
+    assert planmod._il1d_route(4096) == "stream"
