@@ -423,7 +423,10 @@ def main() -> None:
     # Tier 1: full-quality Pallas bench.  Its budget leaves enough behind
     # for the XLA fallback tier plus orchestrator slack.
     st1 = os.path.join(tmpdir, "pallas.json")
-    budget1 = max(120.0, left() - 300.0)
+    # floors keep a normal 900 s window useful; the min() clamp keeps a
+    # SMALL configured timeout honest (the floors alone let a 120 s
+    # PYFFT_TPU_BENCH_TIMEOUT overrun ~2-3x before the zero line)
+    budget1 = min(max(120.0, left() - 300.0), max(30.0, left() - 30.0))
     line = _reap(_spawn_tier("pallas", budget1, st1), budget1 + 45.0)
     if line is not None:
         print(json.dumps(line), flush=True)
@@ -439,7 +442,7 @@ def main() -> None:
     # Tier 2: the Pallas path never produced a number (compile service
     # wedged / Mosaic queue dead) — measure the pure-XLA path instead.
     st2 = os.path.join(tmpdir, "xla.json")
-    budget2 = max(90.0, left() - 90.0)
+    budget2 = min(max(90.0, left() - 90.0), max(20.0, left() - 20.0))
     line = _reap(_spawn_tier("xla", budget2, st2), budget2 + 30.0)
     if line is None:
         line = _read_status(st2)

@@ -833,8 +833,10 @@ def fft_axis_df64(planes, sign, *, axis, postscale: float = 1.0,
     n = rh.shape[axis]
     if interpret is None:
         interpret = _interpret_default()
+    _butterfly_env = os.environ.get(
+        "PYFFT_TPU_DF64_BUTTERFLY", "").lower() in ("1", "true", "yes", "on")
     if (factors is None and n <= 2048
-            and (not fast_math or os.environ.get("PYFFT_TPU_DF64_BUTTERFLY"))):
+            and (not fast_math or _butterfly_env)):
         # the precise butterfly chain.  The env override exists because
         # fresh compiles of int8-MXU-tail df64 kernels HANG indefinitely
         # on this environment's 2026-08-20 compile service (r5 bisection:

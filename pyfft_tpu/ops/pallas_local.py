@@ -1191,7 +1191,7 @@ def _fft_cols_inner(re, im, *, n, sign, postscale, interpret,
 
 
 def _col_fold_kernel(n, by, xc, x_ext, layout, postscale, factors, sign,
-                     *refs):
+                     precision, *refs):
     """Column FFT with folded-contiguous READ and native strided WRITE.
 
     The r4 HLO study (docs/design.md round-5 log; probe_3dz glue2) named
@@ -1219,7 +1219,7 @@ def _col_fold_kernel(n, by, xc, x_ext, layout, postscale, factors, sign,
         yy, xq = divmod(j, per_row)
         sl = pl.ds(j * xc, xc)
         xr, xi = tile_fft(re_ref[0, :, sl], im_ref[0, :, sl], tables, n,
-                          factors, "highest", True, sign)
+                          factors, precision, True, sign)
         if postscale != 1.0:
             s = jnp.float32(postscale)
             xr, xi = xr * s, xi * s
@@ -1243,10 +1243,16 @@ def _fft_cols_fold(re, im, *, n, sign, postscale, interpret, factors,
                                precision=precision)
         layout = tuple((k, len(v)) for k, v in tables.items())
         flat = [jnp.asarray(a) for v in tables.values() for a in v]
-        # lane width per tile_fft slice: 256 lanes are validated for plain
-        # column passes with n <= 512 only (CLAUDE.md Mosaic rules); wider
-        # n falls back to the universal 128-lane tile
-        xc = min(x_ext, 2 * LANES if n <= 512 else LANES)
+        # lane width per tile_fft slice: 256 lanes are validated for
+        # column-pass tile shapes with n <= 512 only (CLAUDE.md Mosaic
+        # rules), and the chunked row walk needs xc | x_ext (a 256-chunk
+        # over x_ext=384 would read misaligned and leave lanes unwritten);
+        # everything else uses the universal 128-lane tile, which always
+        # divides the lane-aligned x_ext
+        if n <= 512 and x_ext % (2 * LANES) == 0:
+            xc = 2 * LANES
+        else:
+            xc = min(x_ext, LANES)
         tspec = [pl.BlockSpec(a.shape, lambda l, j, _nd=a.ndim: (0,) * _nd,
                               memory_space=pltpu.VMEM) for a in flat]
         ispec = pl.BlockSpec((1, n, by * x_ext), lambda l, j: (l, 0, j),
@@ -1254,7 +1260,7 @@ def _fft_cols_fold(re, im, *, n, sign, postscale, interpret, factors,
         ospec = pl.BlockSpec((1, n, by, x_ext), lambda l, j: (l, 0, j, 0),
                              memory_space=pltpu.VMEM)
         kern = functools.partial(_col_fold_kernel, n, by, xc, x_ext, layout,
-                                 float(postscale), factors, sign)
+                                 float(postscale), factors, sign, precision)
         oshape = jax.ShapeDtypeStruct((L, n, rows, x_ext), jnp.float32)
         return pl.pallas_call(
             kern, grid=(L, rows // by),
@@ -1286,6 +1292,14 @@ def supported_fold(re, axis: int) -> bool:
         return False
     x_ext = trail[-1]
     rows = math.prod(trail[:-1])
+    # VMEM footprint cap: each grid step holds 4 f32 block planes of
+    # n x by x x_ext (by=8) plus tables, double-buffered — the hardware-
+    # proven class is n=256, x_ext=256 (256^3 z-pass, ~8 MiB of blocks);
+    # n * x_ext <= 2^17 bounds a block plane at 4 MiB so larger shapes
+    # (e.g. a (4096, 8, 256) z-pass) stay on the plain column kernel
+    # instead of compiling a >100 MiB-block kernel on the shared service
+    if n * x_ext > 1 << 17:
+        return False
     return (x_ext % LANES == 0 and x_ext <= 4 * LANES and rows % 8 == 0
             and math.prod(trail) >= LANES)
 

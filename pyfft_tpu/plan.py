@@ -417,8 +417,10 @@ class Plan:
         # jitted, so returning the UNJITTED composition dispatches each
         # pass as its own compiled program — the helper sees one kernel
         # per request, never the monolith.  Single-pass c128 plans (e.g.
-        # the config-5 four-step) keep the fused jit + donation.
-        if (split == "planar" and self._real_dtype == np.float64
+        # the config-5 four-step) keep the fused jit + donation.  Applies
+        # to EVERY split form ("complex"/"view" wrap the same run_planar
+        # pass chain, so a jitted wrapper would rebuild the monolith).
+        if (self._real_dtype == np.float64
                 and len(self._exec_plan.passes) > 1
                 and _on_tpu() and not self._force_xla
                 and df64_covers(batch_shape + self.shape)):

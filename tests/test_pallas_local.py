@@ -248,6 +248,7 @@ def test_tile_fft_fold_last_twiddle(factors):
     ((256, 16, 256), 0),       # config-4 class (scaled down)
     ((2, 64, 8, 128), 1),      # batched 3D z-pass
     ((2, 32, 16, 8, 128), 1),  # 4D trail flattens to (rows, x_ext)
+    ((256, 8, 384), 0),        # x_ext not 256-divisible: xc must drop to 128
 ])
 def test_fold_kernel_parity(shape, axis):
     """Fold-store column kernel: folded read, NATIVE-layout store (the 3D
@@ -290,6 +291,12 @@ def test_fold_kernel_supported():
     assert not supported_fold(jnp.zeros((64, 4, 128), jnp.float32), 0)
     # f64 planes stay on the df64/XLA paths
     assert not supported_fold(jnp.zeros((64, 8, 128), jnp.float64), 0)
+    # VMEM footprint cap: a (4096, 8, 256) z-pass would need >100 MiB of
+    # block planes — must stay on the plain column kernel (n*x_ext > 2^17)
+    assert not supported_fold(jnp.zeros((4096, 8, 256), jnp.float32), 0)
+    assert not supported_fold(jnp.zeros((1024, 8, 256), jnp.float32), 0)
+    # boundary: exactly 2^17 is the proven-safe block size
+    assert supported_fold(jnp.zeros((512, 8, 256), jnp.float32), 0)
 
 
 @pytest.mark.parametrize("shape", [(256, 128), (2, 128, 256)])

@@ -587,3 +587,21 @@ def test_il1d_route_record(monkeypatch):
     assert planmod._il1d_route(4096) == "stream"
     records["il1d:4096"] = ["garbage"]                # corrupt record
     assert planmod._il1d_route(4096) == "stream"
+
+
+def test_df64_staged_multipass_all_splits(monkeypatch):
+    """The 512^2 de-monolith must cover every split form: a jitted
+    "complex"/"view" wrapper would rebuild the monolithic multi-kernel
+    df64 program the staged planar path exists to avoid (r5 review)."""
+    import jax.numpy as jnp
+
+    import pyfft_tpu.plan as planmod
+    monkeypatch.setattr(planmod, "_on_tpu", lambda: True)
+    x = rand_complex((256, 256), seed=42, dtype=np.complex128)
+    plan = Plan((256, 256), np.complex128)
+    for split in ("planar", "complex"):
+        fn = plan._get_callable((), False, split)
+        assert not hasattr(fn, "lower"), f"{split} callable is a monolith"
+    got = np.asarray(plan._get_callable((), False, "complex")(jnp.asarray(x)))
+    ref = np.fft.fftn(x, axes=(-2, -1))
+    assert rel_err(got, ref) < TOL[np.complex128]
