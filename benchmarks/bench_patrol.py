@@ -35,28 +35,40 @@ def main():
                 best_val = float(json.load(f).get("value", 0.0))
         except Exception:
             pass
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    from watch_quiet import capture_lock
     while time.monotonic() - t0 < DEADLINE_S:
         ts = datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(ROOT, "bench.py")],
-                capture_output=True, text=True, timeout=1000, cwd=ROOT)
-            lines = (proc.stdout or "").strip().splitlines()
-            row = json.loads(lines[-1]) if lines else {}
-        except Exception as e:
-            row = {"error": repr(e)[:100]}
-        row["patrol_ts"] = ts
-        with open(TRAIL, "a") as f:
-            f.write(json.dumps(row) + "\n")
-        val = float(row.get("value", 0.0) or 0.0)
-        degraded = bool(row.get("extra", {}).get("degraded"))
-        print(f"[patrol] {ts} value={val} degraded={degraded}", flush=True)
-        if val > best_val and not degraded:
-            best_val = val
-            with open(BEST, "w") as f:
-                json.dump(row, f, indent=1)
-            print(f"[patrol] new best {val}", flush=True)
+        with capture_lock() as mine:
+            if not mine:
+                # a watcher's quiet-window capture is in flight: don't
+                # contend with it (the 11:37Z stampede lesson) — retry on
+                # a short cycle instead
+                print(f"[patrol] {ts} capture in flight, standing by",
+                      flush=True)
+                time.sleep(180)
+                continue
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(ROOT, "bench.py")],
+                    capture_output=True, text=True, timeout=1000, cwd=ROOT)
+                lines = (proc.stdout or "").strip().splitlines()
+                row = json.loads(lines[-1]) if lines else {}
+            except Exception as e:
+                row = {"error": repr(e)[:100]}
+            row["patrol_ts"] = ts
+            with open(TRAIL, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            val = float(row.get("value", 0.0) or 0.0)
+            degraded = bool(row.get("extra", {}).get("degraded"))
+            print(f"[patrol] {ts} value={val} degraded={degraded}",
+                  flush=True)
+            if val > best_val and not degraded:
+                best_val = val
+                with open(BEST, "w") as f:
+                    json.dump(row, f, indent=1)
+                print(f"[patrol] new best {val}", flush=True)
         time.sleep(CYCLE_S)
     print("[patrol] deadline reached", flush=True)
 

@@ -30,6 +30,7 @@ os.environ.setdefault(
     os.path.join(ROOT, "benchmarks", "tuned_v5e.json"))
 
 TRAIL = os.path.join(ROOT, "benchmarks", "load_trail.jsonl")
+LOCK = os.environ.get("PYFFT_CAPTURE_LOCK", "/tmp/pyfft_capture.lock")
 QUIET_MS = float(os.environ.get("WATCH_QUIET_MS", "0.52"))
 QUIET_GBS = float(os.environ.get("WATCH_QUIET_GBS", "550"))
 CYCLE_S = float(os.environ.get("WATCH_CYCLE_S", "420"))
@@ -69,6 +70,32 @@ def record(row):
     print(f"[watch] {row}", flush=True)
 
 
+class capture_lock:
+    """Cross-process mutual exclusion for quiet-window captures.
+
+    A quiet window at 11:37Z drew BOTH watchers plus the patrol into
+    concurrent bench+acceptance runs whose mutual contention consumed the
+    very window they were measuring (one tier-1 bench read 0.609 ms in
+    the noise the other capture created).  One capture at a time; a
+    holder's crash releases the flock automatically."""
+
+    def __enter__(self):
+        import fcntl
+        self._f = open(LOCK, "w")
+        try:
+            fcntl.flock(self._f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return True
+        except OSError:
+            self._f.close()
+            self._f = None
+            return False
+
+    def __exit__(self, *exc):
+        if self._f is not None:
+            self._f.close()
+        return False
+
+
 def main():
     global RUN_ACCEPTANCE
     t0 = time.monotonic()
@@ -97,31 +124,45 @@ def main():
         row["quiet"] = quiet
         record(row)
         if quiet:
-            ts = row["ts"].replace(":", "").replace("-", "")
-            with open(os.path.join(ROOT, "benchmarks",
-                                   f"quiet_bench_{ts}.json"), "w") as f:
-                subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                               stdout=f, timeout=1000)
-            record({"ts": row["ts"], "event": f"quiet bench captured ({ts})"})
-            if RUN_ACCEPTANCE:
-                RUN_ACCEPTANCE = False
-                subprocess.run(
-                    [sys.executable,
-                     os.path.join(ROOT, "benchmarks", "acceptance.py")],
-                    timeout=2400)
-                record({"ts": row["ts"], "event": "quiet acceptance recorded"})
-            else:
-                # every further quiet window: re-run the c64 perf configs
-                # (acceptance keeps best-across-runs, so each quiet pass can
-                # only improve the recorded rows; config 5 is ~9 min of df64
-                # and would blow the window, so it rides the full run only)
-                subprocess.run(
-                    [sys.executable,
-                     os.path.join(ROOT, "benchmarks", "acceptance.py"),
-                     "--configs", "2,2i,3,4,6"],
-                    timeout=2400)
-                record({"ts": row["ts"],
-                        "event": "quiet acceptance subset (2,3,4,6) recorded"})
+            with capture_lock() as mine:
+                if not mine:
+                    record({"ts": row["ts"],
+                            "event": "quiet window: capture already in "
+                                     "flight elsewhere, skipping"})
+                else:
+                    ts = row["ts"].replace(":", "").replace("-", "")
+                    with open(os.path.join(ROOT, "benchmarks",
+                                           f"quiet_bench_{ts}.json"),
+                              "w") as f:
+                        subprocess.run(
+                            [sys.executable, os.path.join(ROOT, "bench.py")],
+                            stdout=f, timeout=1000)
+                    record({"ts": row["ts"],
+                            "event": f"quiet bench captured ({ts})"})
+                    if RUN_ACCEPTANCE:
+                        RUN_ACCEPTANCE = False
+                        subprocess.run(
+                            [sys.executable,
+                             os.path.join(ROOT, "benchmarks",
+                                          "acceptance.py")],
+                            timeout=2400)
+                        record({"ts": row["ts"],
+                                "event": "quiet acceptance recorded"})
+                    else:
+                        # every further quiet window: re-run the c64 perf
+                        # configs (acceptance keeps best-across-runs, so
+                        # each quiet pass can only improve the recorded
+                        # rows; config 5 is ~9 min of df64 and would blow
+                        # the window, so it rides the full run only)
+                        subprocess.run(
+                            [sys.executable,
+                             os.path.join(ROOT, "benchmarks",
+                                          "acceptance.py"),
+                             "--configs", "2,2i,3,4,6"],
+                            timeout=2400)
+                        record({"ts": row["ts"],
+                                "event": "quiet acceptance subset "
+                                         "(2,3,4,6) recorded"})
         time.sleep(CYCLE_S)
     print("[watch] deadline reached", flush=True)
 
