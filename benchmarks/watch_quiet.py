@@ -60,6 +60,11 @@ def probe():
     dt = time_scan_chain(
         lambda r, i: pallas_local.fft_axis(r, i, -1, axis=-1, alias_io=True),
         (re, im), trials=3)
+    # Same physics clamp as bench.py: one iteration moves 4 f32 planes
+    # through HBM; a differencing estimate below that floor is a host-side
+    # artifact (a starved 1-CPU host once produced 0.203 ms on an 819 GB/s
+    # part) and must not enter the trail or trigger a spurious capture.
+    dt = max(dt, _BYTES_PER_ITER / 819e9)
     gbs = copy_bandwidth_gbs()
     return dt * 1e3, gbs
 
