@@ -412,9 +412,39 @@ def _read_status(path: str):
         return None
 
 
+def _acquire_capture_lock(max_wait_s: float):
+    """Best-effort cross-process capture exclusion (same flock the
+    watcher/patrol use).  A bench invoked directly (the driver's
+    end-of-round run) would otherwise contend on the chip with an
+    in-flight watcher/patrol capture and read their noise as co-tenant
+    load.  Holders that spawn bench.py themselves set PYFFT_LOCK_HELD=1
+    to skip this.  Never blocks past ``max_wait_s`` — a real measurement
+    under contention still beats no measurement."""
+    if os.environ.get("PYFFT_LOCK_HELD") == "1":
+        return None
+    import fcntl
+    path = os.environ.get("PYFFT_CAPTURE_LOCK", "/tmp/pyfft_capture.lock")
+    try:
+        f = open(path, "w")
+    except OSError:
+        return None
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return f                      # held until process exit
+        except OSError:
+            if time.monotonic() >= deadline:
+                print("bench: capture lock busy after "
+                      f"{max_wait_s:.0f}s, proceeding", file=sys.stderr)
+                return f                  # keep fd; proceed unlocked
+            time.sleep(5.0)
+
+
 def main() -> None:
     t0 = time.monotonic()
     start_epoch = time.time()
+    _lock = _acquire_capture_lock(max_wait_s=min(240.0, TIMEOUT_S / 4))
     left = lambda: TIMEOUT_S - (time.monotonic() - t0)
 
     import tempfile

@@ -52,7 +52,8 @@ def main():
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.join(ROOT, "bench.py")],
-                    capture_output=True, text=True, timeout=1000, cwd=ROOT)
+                    capture_output=True, text=True, timeout=1000, cwd=ROOT,
+                    env={**os.environ, "PYFFT_LOCK_HELD": "1"})
                 lines = (proc.stdout or "").strip().splitlines()
                 row = json.loads(lines[-1]) if lines else {}
             except Exception as e:

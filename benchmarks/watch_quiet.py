@@ -141,7 +141,8 @@ def main():
                               "w") as f:
                         subprocess.run(
                             [sys.executable, os.path.join(ROOT, "bench.py")],
-                            stdout=f, timeout=1000)
+                            stdout=f, timeout=1000,
+                            env={**os.environ, "PYFFT_LOCK_HELD": "1"})
                     record({"ts": row["ts"],
                             "event": f"quiet bench captured ({ts})"})
                     if RUN_ACCEPTANCE:

@@ -27,6 +27,9 @@ def bench(monkeypatch, tmp_path):
     # point the module at a private trail copy via _HERE redirection
     os.makedirs(tmp_path / "benchmarks", exist_ok=True)
     monkeypatch.setattr(mod, "_HERE", str(tmp_path))
+    # isolate the capture lock from any live watcher/patrol on this host
+    monkeypatch.setenv("PYFFT_CAPTURE_LOCK", str(tmp_path / "cap.lock"))
+    monkeypatch.delenv("PYFFT_LOCK_HELD", raising=False)
     return mod
 
 
@@ -115,3 +118,30 @@ def test_orchestrator_zero_only_when_no_source(bench, monkeypatch, capsys):
         bench.main()
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] == 0.0
+
+
+def test_capture_lock_free_and_flagged(bench, monkeypatch):
+    # free lock: acquired immediately (returns the held fd)
+    f = bench._acquire_capture_lock(max_wait_s=5)
+    assert f is not None
+    f.close()
+    # spawned-by-holder flag: skipped entirely
+    monkeypatch.setenv("PYFFT_LOCK_HELD", "1")
+    assert bench._acquire_capture_lock(max_wait_s=5) is None
+
+
+def test_capture_lock_busy_bounded_wait(bench):
+    import fcntl
+    import time
+
+    path = os.environ["PYFFT_CAPTURE_LOCK"]
+    holder = open(path, "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    t0 = time.monotonic()
+    f = bench._acquire_capture_lock(max_wait_s=0.5)
+    waited = time.monotonic() - t0
+    # proceeds despite the busy lock, within the bound (+poll slack)
+    assert f is not None
+    assert waited < 6.0
+    holder.close()
+    f.close()
